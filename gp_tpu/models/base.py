@@ -1,0 +1,303 @@
+"""Shared model plumbing: hyperparameter packing, bounds, train pipeline.
+
+Reproduces the GP-level hyperparameter contract of the reference
+(GP.cpp:85-92, 514-574):
+
+  hyp = [cov hyps ..., log sigma_n, mean]      (length cov.num_hyp + 2)
+  sn2  = exp(2 * hyp[-2])                      (GP.cpp:565-569)
+  mean = hyp[-1] (raw, not log)                (GP.cpp:570-574)
+
+Noise-free mode removes log sigma_n from the optimization vector
+(vec2hyp/hyp2vec packing, GP.cpp:535-564) and pins it at -inf.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DBL_EPS, DEFAULT_SEED, INF, default_dtype
+from ..ops.kernels import KernelSpec, get_kernel
+
+
+# --------------------------------------------------------------------------
+# Pure hyp helpers (usable inside jit)
+# --------------------------------------------------------------------------
+
+def hyp_sn2(hyp):
+    return jnp.exp(2.0 * hyp[-2])
+
+
+def hyp_mean(hyp):
+    return hyp[-1]
+
+
+def to_opt_vec(hyp, noise_free: bool):
+    """hyp2vec (GP.cpp:550-564): drop log sigma_n when noise-free."""
+    if not noise_free:
+        return hyp
+    return jnp.concatenate([hyp[:-2], hyp[-1:]])
+
+
+def from_opt_vec(vec, noise_free: bool):
+    """vec2hyp (GP.cpp:535-549): reinsert log sigma_n = -inf when noise-free."""
+    if not noise_free:
+        return vec
+    neg_inf = jnp.full((1,), -INF, vec.dtype)
+    return jnp.concatenate([vec[:-1], neg_inf, vec[-1:]])
+
+
+def sanitize_value_and_grad(f, g):
+    """INF-objective semantics (GP.cpp:147-171): non-finite value OR any
+    non-finite gradient component turns the evaluation into (+inf, 0)."""
+    ok = jnp.isfinite(f) & jnp.all(jnp.isfinite(g))
+    f = jnp.where(ok, f, INF)
+    g = jnp.where(ok, g, jnp.zeros_like(g))
+    return f, g
+
+
+# --------------------------------------------------------------------------
+# Host-side hyp defaults / ranges (data-dependent constants, computed once)
+# --------------------------------------------------------------------------
+
+def default_hyps(kernel: KernelSpec, x, y, noise_lb: float,
+                 noise_free: bool) -> np.ndarray:
+    """GP::get_default_hyps (GP.cpp:85-92)."""
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    cov = kernel.default_hyp(x, y)
+    if noise_free:
+        log_sn = -np.inf
+    else:
+        log_sn = max(np.log(noise_lb), np.log(np.std(y, ddof=1) * 1e-3))
+    return np.concatenate([cov, [log_sn, y.mean()]])
+
+
+def hyp_range(kernel: KernelSpec, x, y, noise_lb: float):
+    """GP::_set_hyp_range (GP.cpp:514-534). Returns (lb, ub) numpy arrays."""
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    nc = kernel.num_hyp(x.shape[1])
+    lb = np.full(nc + 2, -np.inf)
+    ub = np.full(nc + 2, 0.5 * np.log(0.5 * np.finfo(np.float64).max))
+    cov_lb, cov_ub = kernel.hyp_range(x, y)
+    lb[:nc], ub[:nc] = cov_lb, cov_ub
+    with np.errstate(divide="ignore"):
+        lb[nc] = np.log(noise_lb)
+        ub[nc] = max(np.log(10 * noise_lb) if noise_lb > 0 else -np.inf, ub[nc - 1])
+    lb[nc + 1] = y.min()
+    ub[nc + 1] = y.max()
+    return lb - DBL_EPS, ub + DBL_EPS
+
+
+# --------------------------------------------------------------------------
+# Base model class
+# --------------------------------------------------------------------------
+
+class GPBase:
+    """Common state + train pipeline shared by GP / FITC / VFE.
+
+    Mirrors the reference's GP base class surface (GP.h:79-122).  Training is
+    host-orchestrated (as in the reference) but every numeric stage — the NLL
+    probe, the multi-start global search, the bounded L-BFGS loop with its
+    ~max_eval objective evaluations, and the posterior cache — runs as a
+    single jitted program on device.
+    """
+
+    _MAX_EVAL = 160  # GP.cpp:232; FITC=130, VFE=150 override
+
+    def __init__(self, train_x, train_y, kernel="se_ard", dtype=None,
+                 seed: int = DEFAULT_SEED):
+        x = np.asarray(train_x, dtype=np.float64)
+        y = np.asarray(train_y, dtype=np.float64).ravel()
+        if x.ndim != 2:
+            raise ValueError("train_x must be (num_points, dim)")
+        if x.shape[0] != y.shape[0]:
+            raise ValueError("train_x and train_y must agree on num_points "
+                             f"({x.shape[0]} vs {y.shape[0]})")
+        self.kernel = get_kernel(kernel)
+        self._dtype = jnp.dtype(dtype) if dtype is not None else default_dtype()
+        self._x = jnp.asarray(x, self._dtype)
+        self._y = jnp.asarray(y, self._dtype)
+        self._dim = x.shape[1]
+        self._num_cov = self.kernel.num_hyp(self._dim)
+        self._num_hyp = self._num_cov + 2
+        self._noise_lb = 1e-3        # GP.cpp:28
+        self._noise_free = False
+        self._fixhyps = False
+        self._trained = False
+        self._hyps = None
+        self._key = jax.random.PRNGKey(seed)
+        self._post = None            # model-specific posterior cache
+
+    # -- accessors mirroring GP.h:84-101 ------------------------------------
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def num_hyp(self) -> int:
+        return self._num_hyp
+
+    @property
+    def num_train(self) -> int:
+        return int(self._x.shape[0])
+
+    @property
+    def trained(self) -> bool:
+        return self._trained
+
+    @property
+    def noise_free(self) -> bool:
+        return self._noise_free
+
+    @property
+    def train_in(self):
+        return self._x
+
+    @property
+    def train_out(self):
+        return self._y
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def get_hyp(self):
+        return np.asarray(self._hyps)
+
+    def set_fixed(self, flag: bool):
+        self._fixhyps = bool(flag)
+
+    def set_noise_free(self, flag: bool):
+        """GP.cpp:79-84."""
+        self._noise_free = bool(flag)
+        if self._noise_free:
+            self._noise_lb = 0.0
+
+    def set_noise_lower_bound(self, nlb: float):
+        """GP.cpp:63-78."""
+        if nlb < 0:
+            raise ValueError("noise lower bound must be positive")
+        if self._noise_free:
+            return  # reference just warns and ignores
+        if nlb == 0:
+            nlb = DBL_EPS
+        self._noise_lb = float(nlb)
+
+    def add_data(self, x, y):
+        """Append training points and invalidate training (GP.cpp:43-55).
+
+        NOTE (static shapes): new sizes trigger recompilation of the jitted
+        stages on the next train(); for BO loops that add one point per
+        iteration, construct with padded buckets or re-use shapes.
+        """
+        x = jnp.asarray(np.asarray(x, np.float64), self._dtype)
+        y = jnp.asarray(np.asarray(y, np.float64).ravel(), self._dtype)
+        if x.ndim != 2 or x.shape[1] != self._dim:
+            raise ValueError("added x must be (num_added, dim)")
+        self._x = jnp.concatenate([self._x, x], axis=0)
+        self._y = jnp.concatenate([self._y, y], axis=0)
+        self._trained = False
+
+    def get_default_hyps(self) -> np.ndarray:
+        return default_hyps(self.kernel, self._x, self._y, self._noise_lb,
+                            self._noise_free)
+
+    def hyp_bounds(self):
+        return hyp_range(self.kernel, self._x, self._y, self._noise_lb)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- subclass hooks ------------------------------------------------------
+    def _nll_value(self, hyp) -> jnp.ndarray:
+        """Raw scalar NLL (may be NaN/inf) for a full hyp vector."""
+        raise NotImplementedError
+
+    def _objective(self, vec, lb, ub):
+        """(f, g) over the optimization vector, INF-sanitized."""
+        raise NotImplementedError
+
+    def _update_posterior(self):
+        """Recompute the posterior cache from self._hyps (the _setK analog).
+        May modify self._hyps (noise inflation / jitter escalation)."""
+        raise NotImplementedError
+
+    # -- shared pipeline (GP.cpp:183-272 / FITC.cpp:32-108 / VFE.cpp:31-108) -
+    def nll(self, hyp=None) -> float:
+        """Public NLL evaluation with INF semantics."""
+        if hyp is None:
+            hyp = self._hyps if self._hyps is not None else self.get_default_hyps()
+        v = float(self._nll_value(jnp.asarray(np.asarray(hyp), self._dtype)))
+        return v if np.isfinite(v) else INF
+
+    def select_init_hyp(self, max_eval: int, def_hyp) -> np.ndarray:
+        """Global search fallback replacing MVMO (GP.cpp:463-485), with the
+        reference's sn2 > mean(sf2) rejection."""
+        from ..optim.multistart import random_search
+
+        def_hyp = jnp.asarray(np.asarray(def_hyp), self._dtype)
+        lb, ub = self.hyp_bounds()
+        lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
+        ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
+        x0_v = to_opt_vec(def_hyp, self._noise_free)
+
+        fun = self._multistart_objective()
+        best_v, best_f = random_search(
+            fun, self._next_key(), lb_v, ub_v, x0_v, num=int(max_eval),
+            chunk=self._multistart_chunk(),
+        )
+        best = from_opt_vec(best_v, self._noise_free)
+        return np.asarray(best)
+
+    def _multistart_chunk(self) -> int:
+        # Bound peak memory: each candidate factors an (n x n) matrix.
+        n = self.num_train
+        budget = 2 * 10**8 / max(n * n, 1)
+        return max(1, min(32, int(budget)))
+
+    def _multistart_objective(self) -> Callable:
+        raise NotImplementedError
+
+    def train(self, init_hyps=None) -> float:
+        """MLE fit; returns the final NLL (GP::train contract)."""
+        if init_hyps is None:
+            init_hyps = self.get_default_hyps()
+        hyps = np.array(np.asarray(init_hyps), np.float64)
+        if self._noise_free:
+            hyps[-2] = -np.inf
+
+        nlz = self.nll(hyps)
+        if not np.isfinite(nlz):
+            hyps = self.select_init_hyp(self._num_hyp * 50, hyps)
+
+        self._hyps = jnp.asarray(hyps, self._dtype)
+        if self._fixhyps:
+            self._update_posterior()
+            self._trained = True
+            return self.nll(self._hyps)
+
+        lb, ub = self.hyp_bounds()
+        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
+        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
+        vec0 = np.clip(np.asarray(to_opt_vec(self._hyps, self._noise_free)),
+                       lb_v, ub_v)
+
+        res = self._run_local_opt(
+            jnp.asarray(vec0, self._dtype),
+            jnp.asarray(lb_v, self._dtype),
+            jnp.asarray(ub_v, self._dtype),
+        )
+        self._hyps = from_opt_vec(res.x, self._noise_free)
+
+        self._update_posterior()
+        self._trained = True
+        return self.nll(self._hyps)
+
+    def _run_local_opt(self, vec0, lb_v, ub_v):
+        raise NotImplementedError

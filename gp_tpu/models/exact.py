@@ -1,0 +1,274 @@
+"""Exact Gaussian-process regression (reference: GP.{h,cpp}).
+
+Functional core + a thin class wrapper.  Differences from the reference are
+all TPU-idiomatic re-designs, not behavior changes:
+
+  * NLL = 0.5(r^T alpha + log|K| + N log 2pi) on one Cholesky
+    (GP.cpp:120-176); the 50-line analytic gradient block (GP.cpp:151-171)
+    is jax.value_and_grad.
+  * SPD checking is "Cholesky produced finite diagonal" + the reference's
+    noise-inflation rescue loop (GP.cpp:423-461) as lax.while_loop —
+    replacing the O(N^3) eigendecomposition check (SURVEY.md section 3.5).
+  * NLOPT SLSQP -> bounded L-BFGS (optim.lbfgsb), MVMO -> vectorized random
+    search (optim.multistart).
+  * Prediction input-gradients (GP.cpp:284-296) via jax.grad w.r.t. the test
+    point, vmapped over the batch — which also fixes the reference's
+    batch-with-gradients latent bug (SURVEY.md section 2.4-2.6 quirk note).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INF
+from ..ops.chol import (chol_solve, cholesky, noise_escalated_cholesky)
+from ..ops.kernels import KernelSpec
+from ..optim.lbfgsb import lbfgsb_impl
+from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
+                   sanitize_value_and_grad, to_opt_vec)
+
+
+# --------------------------------------------------------------------------
+# Pure functions
+# --------------------------------------------------------------------------
+
+def nll_raw(kernel: KernelSpec, hyp, x, y):
+    """Negative log marginal likelihood; NaN/inf propagate (sanitize outside).
+
+    GP::_calcNegLogProb (GP.cpp:120-148).
+    """
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    mean = hyp_mean(hyp)
+    n = x.shape[0]
+    K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
+    L = cholesky(K)
+    r = y - mean
+    alpha = chol_solve(L, r)
+    data_fit = 0.5 * jnp.dot(r, alpha)
+    complexity = jnp.sum(jnp.log(jnp.diagonal(L)))  # 0.5 * log|K|
+    norm_const = 0.5 * n * jnp.log(2 * jnp.pi)
+    return data_fit + complexity + norm_const
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nll(kernel: KernelSpec, hyp, x, y):
+    v = nll_raw(kernel, hyp, x, y)
+    return jnp.where(jnp.isfinite(v), v, INF)
+
+
+def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y):
+    """(value, grad) over the optimization vector, INF-sanitized."""
+    f, g = jax.value_and_grad(
+        lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y)
+    )(vec)
+    return sanitize_value_and_grad(f, g)
+
+
+def multistart_objective(kernel: KernelSpec, noise_free: bool, vec, x, y):
+    """NLL with the sn2 > mean(sf2) rejection (GP.cpp:470-471)."""
+    hyp = from_opt_vec(vec, noise_free)
+    nc = kernel.num_hyp(x.shape[1])
+    sf2_mean = jnp.mean(kernel.diag_k(hyp[:nc], x))
+    v = nll_raw(kernel, hyp, x, y)
+    ok = jnp.isfinite(v) & (hyp_sn2(hyp) <= sf2_mean)
+    return jnp.where(ok, v, INF)
+
+
+@partial(jax.jit, static_argnames=("kernel", "noise_free", "max_evals"))
+def fit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+        max_evals: int = 160):
+    """The full bounded local MLE optimization as one jitted program."""
+    fun = lambda v: objective_vg(kernel, noise_free, v, x, y)
+    return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def set_k(kernel: KernelSpec, hyp, x, y):
+    """Posterior cache (GP::_setK, GP.cpp:423-444): factor K with noise
+    inflation until SPD, cache invKys.  Returns (hyp', L, invKys) — hyp' may
+    carry inflated noise, as the reference mutates _hyps."""
+    nc = kernel.num_hyp(x.shape[1])
+    Kcov = kernel.k(hyp[:nc], x, x)
+    L, log_sn, _ok = noise_escalated_cholesky(Kcov, hyp[-2])
+    hyp = hyp.at[-2].set(log_sn)
+    invKys = chol_solve(L, y - hyp_mean(hyp))
+    return hyp, L, invKys
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def predict(kernel: KernelSpec, hyp, x, L, invKys, xs):
+    """Batched posterior mean + variance (GP::_predict, GP.cpp:273-283).
+
+    y*  = mean + k* invKys
+    s2* = max(sf2 - sum(k* o K^-1 k*), 0) + sn2
+    """
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    kt = kernel.k(chyp, xs, x)                    # (T, N)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kks = chol_solve(L, kt.T)                     # (N, T)
+    sf2 = kernel.diag_k(chyp, xs)
+    s2 = jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
+    return mu, s2
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def predict_y(kernel: KernelSpec, hyp, x, invKys, xs):
+    """O(N)-per-point mean-only path (GP::_predict_y, GP.cpp:298-314)."""
+    nc = kernel.num_hyp(x.shape[1])
+    kt = kernel.k(hyp[:nc], xs, x)
+    return hyp_mean(hyp) + kt @ invKys
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def predict_s2(kernel: KernelSpec, hyp, x, L, xs):
+    """Variance-only path (GP::_predict_s2, GP.cpp:315-334)."""
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    kt = kernel.k(chyp, xs, x)
+    kks = chol_solve(L, kt.T)
+    sf2 = kernel.diag_k(chyp, xs)
+    return jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
+
+
+def _predict_y_single(kernel, hyp, x, invKys, xi):
+    nc = kernel.num_hyp(x.shape[1])
+    kt = kernel.k(hyp[:nc], xi[None, :], x)[0]
+    return hyp_mean(hyp) + jnp.dot(kt, invKys)
+
+
+def _predict_s2_single(kernel, hyp, x, L, xi):
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    kt = kernel.k(chyp, xi[None, :], x)[0]
+    kks = chol_solve(L, kt)
+    sf2 = kernel.diag_k(chyp, xi[None, :])[0]
+    quad = jnp.dot(kt, kks)
+    raw = sf2 - quad + hyp_sn2(hyp)
+    clamped = jnp.maximum(sf2 - quad, 0.0) + hyp_sn2(hyp)
+    # Value uses the clamp (GP.cpp:283); the gradient ignores it, exactly as
+    # the reference's analytic gs2 does (GP.cpp:294).
+    return raw + jax.lax.stop_gradient(clamped - raw)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def predict_y_with_grad(kernel: KernelSpec, hyp, x, invKys, xs):
+    """(y, dy/dx*) batched over test points — the BO acquisition path
+    (GP.cpp:289-293) via jax.grad instead of hand-written dk_dx1."""
+    f = lambda xi: _predict_y_single(kernel, hyp, x, invKys, xi)
+    return jax.vmap(jax.value_and_grad(f))(xs)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def predict_s2_with_grad(kernel: KernelSpec, hyp, x, L, xs):
+    f = lambda xi: _predict_s2_single(kernel, hyp, x, L, xi)
+    return jax.vmap(jax.value_and_grad(f))(xs)
+
+
+# --------------------------------------------------------------------------
+# Class wrapper
+# --------------------------------------------------------------------------
+
+class GP(GPBase):
+    """Exact GP with the reference's public API surface (GP.h:79-122)."""
+
+    _MAX_EVAL = 160
+
+    # posterior cache: (L, invKys)
+
+    def _nll_value(self, hyp):
+        return nll(self.kernel, hyp, self._x, self._y)
+
+    def _multistart_objective(self):
+        fun = getattr(self, "_ms_fun", None)
+        if fun is None:
+            kernel, noise_free = self.kernel, self._noise_free
+            x, y = self._x, self._y
+            fun = lambda v: multistart_objective(kernel, noise_free, v, x, y)
+            self._ms_fun = fun
+        return fun
+
+    def _run_local_opt(self, vec0, lb_v, ub_v):
+        return fit(self.kernel, self._noise_free, self._x, self._y,
+                   vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
+
+    def _update_posterior(self):
+        hyp, L, invKys = set_k(self.kernel, self._hyps, self._x, self._y)
+        self._hyps = hyp
+        self._post = (L, invKys)
+
+    # -- prediction API (GP.h:104-119) --------------------------------------
+    def _require_trained(self):
+        if not self._trained:
+            raise RuntimeError("model is not trained; call train() first")
+
+    def _as_batch(self, xs):
+        xs = jnp.asarray(np.asarray(xs, np.float64), self._dtype)
+        if xs.ndim == 1:
+            xs = xs[None, :]
+        if xs.shape[1] != self._dim:
+            raise ValueError(f"test points must have dim {self._dim}")
+        return xs
+
+    def batch_predict(self, xs):
+        self._require_trained()
+        L, invKys = self._post
+        mu, s2 = predict(self.kernel, self._hyps, self._x, L, invKys,
+                         self._as_batch(xs))
+        return np.asarray(mu), np.asarray(s2)
+
+    def batch_predict_y(self, xs):
+        self._require_trained()
+        _, invKys = self._post
+        return np.asarray(predict_y(self.kernel, self._hyps, self._x, invKys,
+                                    self._as_batch(xs)))
+
+    def batch_predict_s2(self, xs):
+        self._require_trained()
+        L, _ = self._post
+        return np.asarray(predict_s2(self.kernel, self._hyps, self._x, L,
+                                     self._as_batch(xs)))
+
+    def batch_predict_y_with_grad(self, xs):
+        self._require_trained()
+        _, invKys = self._post
+        y, gy = predict_y_with_grad(self.kernel, self._hyps, self._x, invKys,
+                                    self._as_batch(xs))
+        return np.asarray(y), np.asarray(gy)
+
+    def batch_predict_s2_with_grad(self, xs):
+        self._require_trained()
+        L, _ = self._post
+        s2, gs2 = predict_s2_with_grad(self.kernel, self._hyps, self._x, L,
+                                       self._as_batch(xs))
+        return np.asarray(s2), np.asarray(gs2)
+
+    # scalar convenience wrappers (GP.cpp:335-403)
+    def predict_y(self, xs) -> float:
+        return float(self.batch_predict_y(xs)[0])
+
+    def predict_s2(self, xs) -> float:
+        return float(self.batch_predict_s2(xs)[0])
+
+    def predict(self, xs):
+        y, s2 = self.batch_predict(xs)
+        return float(y[0]), float(s2[0])
+
+    def predict_y_with_grad(self, xs):
+        y, g = self.batch_predict_y_with_grad(xs)
+        return float(y[0]), g[0]
+
+    def predict_s2_with_grad(self, xs):
+        s2, g = self.batch_predict_s2_with_grad(xs)
+        return float(s2[0]), g[0]
+
+    def predict_with_grad(self, xs):
+        y, gy = self.predict_y_with_grad(xs)
+        s2, gs2 = self.predict_s2_with_grad(xs)
+        return y, s2, gy, gs2

@@ -1,0 +1,112 @@
+"""Cholesky solver core.
+
+TPU-native replacement for the reference's MatrixSolver strategy layer
+(MatrixSolver.{h,cpp}).  The reference offers LLT-Cholesky and col-pivoted
+QR backends plus a triple-redundant O(N^3) SPD check (GP.cpp:445-461:
+eigendecomposition + inverse residual + solver flag).  On TPU the idiomatic
+equivalent is: factor with jnp.linalg.cholesky, detect failure as NaN in the
+factor's diagonal, and recover with jitter/noise escalation inside
+lax.while_loop (SURVEY.md section 3.5).
+
+On a device mesh the factorization is replaced by the distributed blocked
+Cholesky in gp_tpu.parallel.pchol; this module is the single-device path and
+the shared solve/logdet helpers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+def cholesky(K):
+    """Lower Cholesky factor; rows from the first failing pivot are NaN."""
+    return jnp.linalg.cholesky(K)
+
+
+def chol_ok(L):
+    """SPD test: the factor diagonal is finite and strictly positive.
+
+    Replaces MatrixSolverLLT::check_SPD + GP::_check_SPD's eigen/inverse
+    checks with the O(N) NaN probe.
+    """
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return jnp.all(jnp.isfinite(d) & (d > 0), axis=-1)
+
+
+def chol_logdet(L):
+    """log|K| = 2 sum log diag(L)  (MatrixSolver.cpp:21-24)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def chol_solve(L, b):
+    """Solve K x = b given K = L L^T."""
+    z = solve_triangular(L, b, lower=True)
+    return solve_triangular(L, z, lower=True, trans=1)
+
+
+def solve_lower(L, b):
+    """Solve L z = b (forward substitution)."""
+    return solve_triangular(L, b, lower=True)
+
+
+def noise_escalated_cholesky(Kcov, log_sn, max_tries: int = 64):
+    """Factor Kcov + exp(2*log_sn) I, inflating noise until SPD.
+
+    Reproduces GP::_setK's rescue loop (GP.cpp:431-440): on failure,
+    log_sn += log(sqrt(10)); if log_sn is -inf (noise-free), restart it at
+    log(machine eps).  Bounded retry count keeps the loop jittable.
+
+    Returns (L, log_sn_final, ok).
+    """
+    dtype = Kcov.dtype
+    n = Kcov.shape[-1]
+    eye = jnp.eye(n, dtype=dtype)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    log_sn = jnp.asarray(log_sn, dtype)
+
+    def factor(ls):
+        return cholesky(Kcov + jnp.exp(2.0 * ls) * eye)
+
+    def cond(state):
+        L, ls, tries = state
+        return jnp.logical_and(~chol_ok(L), tries < max_tries)
+
+    def body(state):
+        L, ls, tries = state
+        ls = jnp.where(jnp.isinf(ls), jnp.log(eps), ls + 0.5 * jnp.log(10.0))
+        return factor(ls), ls, tries + 1
+
+    L0 = factor(log_sn)
+    L, log_sn, _ = jax.lax.while_loop(cond, body, (L0, log_sn, jnp.zeros((), jnp.int32)))
+    return L, log_sn, chol_ok(L)
+
+
+def jitter_escalated_cholesky(factor_fn, jitter0, max_tries: int = 64):
+    """Generic jitter-doubling rescue loop (FITC.cpp:184-198, VFE.cpp:146-158).
+
+    factor_fn(jitter) must return a pytree of Cholesky factors; the loop
+    doubles `jitter` until every factor passes chol_ok.  Returns
+    (factors, jitter_final, ok).
+    """
+    jitter0 = jnp.asarray(jitter0)
+
+    def all_ok(factors):
+        oks = [chol_ok(L) for L in jax.tree_util.tree_leaves(factors)]
+        return jnp.all(jnp.stack(oks))
+
+    def cond(state):
+        factors, jit, tries = state
+        return jnp.logical_and(~all_ok(factors), tries < max_tries)
+
+    def body(state):
+        factors, jit, tries = state
+        jit = jit * 2.0
+        return factor_fn(jit), jit, tries + 1
+
+    f0 = factor_fn(jitter0)
+    factors, jitter, _ = jax.lax.while_loop(
+        cond, body, (f0, jitter0, jnp.zeros((), jnp.int32))
+    )
+    return factors, jitter, all_ok(factors)

@@ -1,0 +1,166 @@
+"""Covariance kernels as pure JAX functions.
+
+Replaces the reference's Cov class hierarchy (Cov/Cov.h:13-27, CovSEard.cpp,
+CovSEiso.cpp).  Hyperparameter packing is IDENTICAL to the reference so fitted
+vectors compare one-to-one:
+
+  se_ard: chyp = [log l_1 .. log l_d, log sigma_f]   (CovSEard.cpp:6)
+  se_iso: chyp = [log l, log sigma_f]                (CovSEiso.cpp:5)
+
+The reference's hand-written dk_dhyp / dk_dx1 / diag_* derivative methods are
+NOT reimplemented: jax.grad / jax.jacfwd of `k` supplies every derivative the
+models need (SURVEY.md section 7, step 2).
+
+Data layout is TPU-first: points are ROWS, x has shape (n, d) — the transpose
+of the reference's dim-by-N Eigen layout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DBL_EPS, DBL_MAX, DBL_MIN
+from .sdist import sqdist
+
+
+class KernelSpec(NamedTuple):
+    """A covariance function bundle (pure functions, no state)."""
+    name: str
+    num_hyp: Callable[[int], int]            # dim -> number of cov hyps
+    k: Callable                              # (chyp, x1, x2) -> (n1, n2)
+    diag_k: Callable                         # (chyp, x) -> (n,)
+    default_hyp: Callable                    # (x, y) -> np (num_hyp,)
+    hyp_range: Callable                      # (x, y) -> (np lb, np ub)
+
+
+# --------------------------------------------------------------------------
+# SE-ARD: k(x,z) = sf^2 exp(-1/2 sum_i (x_i-z_i)^2 / l_i^2)   (CovSEard.cpp:7-11)
+# --------------------------------------------------------------------------
+
+def _seard_k(chyp, x1, x2):
+    d = x1.shape[-1]
+    inv_l = jnp.exp(-chyp[:d])
+    sf2 = jnp.exp(2.0 * chyp[d])
+    return sf2 * jnp.exp(-0.5 * sqdist(x1 * inv_l, x2 * inv_l))
+
+
+def _seard_diag_k(chyp, x):
+    d = x.shape[-1]
+    sf2 = jnp.exp(2.0 * chyp[d])
+    return jnp.full((x.shape[0],), sf2, dtype=x.dtype)
+
+
+def _seard_default_hyp(x, y):
+    """log l_i = log std(x_i), log sf = log std(y)  (CovSEard.cpp:72-79)."""
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    hyp = np.empty(x.shape[1] + 1)
+    hyp[:-1] = np.log(np.std(x, axis=0, ddof=1))
+    hyp[-1] = np.log(np.std(y, ddof=1))
+    return hyp
+
+
+def _lscale_bounds_per_dim(x):
+    """Per-dimension length-scale box from the data span (CovSEard.cpp:46-66).
+
+    lb: exp(-0.5 (0.05 span / l)^2) must stay above 1.5*DBL_MIN;
+    ub: min( l^2 < 0.05*DBL_MAX , exp(-0.5 span^2/l^2) > 1 - 1e-4 ).
+    """
+    x = np.asarray(x)
+    span = x.max(axis=0) - x.min(axis=0)
+    thres = 1e-4
+    with np.errstate(divide="ignore"):
+        lb = np.log(0.05 * span) - 0.5 * np.log(-2.0 * np.log(1.5 * DBL_MIN))
+        ub1 = 0.5 * np.log(0.05 * DBL_MAX)
+        ub2 = np.log(span / np.sqrt(-2.0 * np.log(1.0 - thres)))
+    ub = np.minimum(ub1, ub2)
+    return lb, ub
+
+
+def _seard_hyp_range(x, y):
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    d = x.shape[1]
+    lb = np.full(d + 1, -np.inf)
+    ub = np.full(d + 1, 0.5 * np.log(0.5 * DBL_MAX))
+    lb[:d], ub[:d] = _lscale_bounds_per_dim(x)
+    yrange = y.max() - y.min()
+    lb[d] = np.log(max(DBL_EPS, DBL_EPS * yrange))        # CovSEard.cpp:68
+    ub[d] = np.log(max(10 * DBL_EPS, 10 * yrange))        # CovSEard.cpp:69
+    return lb, ub
+
+
+SE_ARD = KernelSpec(
+    name="se_ard",
+    num_hyp=lambda dim: dim + 1,
+    k=_seard_k,
+    diag_k=_seard_diag_k,
+    default_hyp=_seard_default_hyp,
+    hyp_range=_seard_hyp_range,
+)
+
+
+# --------------------------------------------------------------------------
+# SE-iso: k(x,z) = sf^2 exp(-1/2 |x-z|^2 / l^2)   (CovSEiso.cpp:6-11)
+# --------------------------------------------------------------------------
+
+def _seiso_k(chyp, x1, x2):
+    inv_l = jnp.exp(-chyp[0])
+    sf2 = jnp.exp(2.0 * chyp[1])
+    return sf2 * jnp.exp(-0.5 * sqdist(x1 * inv_l, x2 * inv_l))
+
+
+def _seiso_diag_k(chyp, x):
+    sf2 = jnp.exp(2.0 * chyp[1])
+    return jnp.full((x.shape[0],), sf2, dtype=x.dtype)
+
+
+def _seiso_default_hyp(x, y):
+    """log l = 0, log sf = log std(y)  (CovSEiso.cpp:79-85)."""
+    y = np.asarray(y).ravel()
+    return np.array([0.0, np.log(np.std(y, ddof=1))])
+
+
+def _seiso_hyp_range(x, y):
+    """Intersects the per-dim boxes across dims (CovSEiso.cpp:70-71); note the
+    slightly different sigma_f lower bound vs SE-ARD (CovSEiso.cpp:75-76)."""
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    lb = np.full(2, -np.inf)
+    ub = np.full(2, 0.5 * np.log(0.5 * DBL_MAX))
+    lb_d, ub_d = _lscale_bounds_per_dim(x)
+    lb[0] = max(lb[0], lb_d.max())
+    ub[0] = min(ub[0], ub_d.min())
+    yrange = y.max() - y.min()
+    with np.errstate(divide="ignore"):
+        lb[1] = np.log(max(0.0, DBL_EPS * yrange))
+        ub[1] = np.log(10 * yrange)
+    return lb, ub
+
+
+SE_ISO = KernelSpec(
+    name="se_iso",
+    num_hyp=lambda dim: 2,
+    k=_seiso_k,
+    diag_k=_seiso_diag_k,
+    default_hyp=_seiso_default_hyp,
+    hyp_range=_seiso_hyp_range,
+)
+
+
+KERNELS = {"se_ard": SE_ARD, "se_iso": SE_ISO}
+
+
+def get_kernel(name_or_spec) -> KernelSpec:
+    """Factory mirroring GP::_specify_cov (GP.cpp:575-587)."""
+    if isinstance(name_or_spec, KernelSpec):
+        return name_or_spec
+    try:
+        return KERNELS[str(name_or_spec).lower()]
+    except KeyError:
+        raise ValueError(
+            f"Unknown kernel {name_or_spec!r}; available: {sorted(KERNELS)}"
+        ) from None

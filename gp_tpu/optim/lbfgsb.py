@@ -1,0 +1,184 @@
+"""Box-bounded L-BFGS in pure JAX.
+
+TPU-native replacement for the reference's NLOPT LD_SLSQP local optimizer
+(GP.cpp:231-259, FITC.cpp:74-101, VFE.cpp:73-101): bounded quasi-Newton
+minimization with a hard evaluation budget (the reference uses
+max_eval = 160/130/150).
+
+Design: limited-memory BFGS two-loop recursion + gradient projection onto the
+box + backtracking Armijo line search along the projected path.  The whole
+solve is one lax.while_loop, so it jits, vmaps (multi-start restarts across
+a batch axis) and shard_maps (restarts across chips).
+
+Objective contract (matches GP.cpp:147-171 semantics): fun(x) returns
+(f, g); non-finite f or g must already be sanitized by the caller to
+(+inf, anything) — infinite f simply fails the Armijo test and the search
+backtracks, which reproduces the reference's INF-objective rejection.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSBState(NamedTuple):
+    x: jnp.ndarray          # (n,) current iterate
+    f: jnp.ndarray          # () current objective
+    g: jnp.ndarray          # (n,) current gradient
+    S: jnp.ndarray          # (m, n) step history (circular)
+    Y: jnp.ndarray          # (m, n) gradient-difference history
+    rho: jnp.ndarray        # (m,) 1 / (s.y)
+    head: jnp.ndarray       # () int32 next write slot
+    n_hist: jnp.ndarray     # () int32 number of valid entries
+    evals: jnp.ndarray      # () int32 objective evaluations so far
+    done: jnp.ndarray       # () bool
+
+
+class LBFGSBResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    evals: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _two_loop(state: LBFGSBState) -> jnp.ndarray:
+    """Compute d = -H g from the (masked) circular history."""
+    m = state.S.shape[0]
+    q = state.g
+
+    def newest_to_oldest(i, carry):
+        q, alphas = carry
+        idx = jnp.mod(state.head - 1 - i, m)
+        valid = i < state.n_hist
+        a = state.rho[idx] * jnp.dot(state.S[idx], q)
+        a = jnp.where(valid, a, 0.0)
+        q = q - a * state.Y[idx]
+        return q, alphas.at[i].set(a)
+
+    alphas = jnp.zeros((m,), state.g.dtype)
+    q, alphas = jax.lax.fori_loop(0, m, newest_to_oldest, (q, alphas))
+
+    # Initial Hessian scaling from the newest pair (standard gamma).
+    newest = jnp.mod(state.head - 1, m)
+    sy = jnp.dot(state.S[newest], state.Y[newest])
+    yy = jnp.dot(state.Y[newest], state.Y[newest])
+    gamma = jnp.where(
+        (state.n_hist > 0) & (sy > 0) & (yy > 0), sy / yy, 1.0
+    )
+    r = gamma * q
+
+    def oldest_to_newest(i, r):
+        j = state.n_hist - 1 - i  # reverse order of the first loop's i
+        idx = jnp.mod(state.head - 1 - j, m)
+        valid = (j >= 0) & (j < state.n_hist)
+        b = state.rho[idx] * jnp.dot(state.Y[idx], r)
+        corr = state.S[idx] * (alphas[j] - b)
+        return r + jnp.where(valid, corr, 0.0)
+
+    r = jax.lax.fori_loop(0, m, oldest_to_newest, r)
+    return -r
+
+
+def lbfgsb_impl(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    max_evals: int = 160,
+    tol: float = 1e-8,
+    history: int = 10,
+    max_backtracks: int = 25,
+    armijo_c1: float = 1e-4,
+) -> LBFGSBResult:
+    """Minimize fun over the box [lb, ub] starting from x0.
+
+    fun: x -> (f, g).  max_evals is the reference's NLOPT set_maxeval budget.
+
+    Pure traceable implementation — call inside your own jit (the models do),
+    or use the pre-jitted `lbfgsb` wrapper below.
+    """
+    dtype = x0.dtype
+    n = x0.shape[0]
+    m = history
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+
+    x0 = jnp.clip(x0, lb, ub)
+    f0, g0 = fun(x0)
+
+    init = LBFGSBState(
+        x=x0, f=f0, g=g0,
+        S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
+        rho=jnp.zeros((m,), dtype),
+        head=jnp.zeros((), jnp.int32), n_hist=jnp.zeros((), jnp.int32),
+        evals=jnp.ones((), jnp.int32),
+        done=~jnp.isfinite(f0),
+    )
+
+    def proj_grad_norm(x, g):
+        return jnp.max(jnp.abs(jnp.clip(x - g, lb, ub) - x))
+
+    def cond(st: LBFGSBState):
+        return jnp.logical_and(~st.done, st.evals < max_evals)
+
+    def body(st: LBFGSBState):
+        d = _two_loop(st)
+        # Fall back to steepest descent when the direction isn't a descent
+        # direction (stale/degenerate history).
+        descent = jnp.dot(st.g, d) < 0
+        d = jnp.where(descent, d, -st.g)
+
+        # Backtracking Armijo along the projected path.
+        def ls_cond(c):
+            t, xt, ft, gt, k, accepted = c
+            return jnp.logical_and(~accepted, k < max_backtracks)
+
+        def ls_body(c):
+            t, _, _, _, k, _ = c
+            xt = jnp.clip(st.x + t * d, lb, ub)
+            ft, gt = fun(xt)
+            dx = xt - st.x
+            accepted = ft <= st.f + armijo_c1 * jnp.dot(st.g, dx)
+            # A zero projected step can never be accepted; bail via k.
+            nonzero = jnp.any(dx != 0)
+            accepted = jnp.logical_and(accepted, nonzero)
+            return t * 0.5, xt, ft, gt, k + 1, accepted
+
+        t0 = jnp.ones((), dtype)
+        c0 = (t0, st.x, st.f, st.g, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        _, xt, ft, gt, n_ls, accepted = jax.lax.while_loop(ls_cond, ls_body, c0)
+
+        evals = st.evals + n_ls
+
+        def on_accept(st):
+            s = xt - st.x
+            yv = gt - st.g
+            sy = jnp.dot(s, yv)
+            good = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(yv)
+            S = jnp.where(good, st.S.at[st.head].set(s), st.S)
+            Y = jnp.where(good, st.Y.at[st.head].set(yv), st.Y)
+            rho = jnp.where(good, st.rho.at[st.head].set(1.0 / sy), st.rho)
+            head = jnp.where(good, jnp.mod(st.head + 1, m), st.head)
+            n_hist = jnp.where(good, jnp.minimum(st.n_hist + 1, m), st.n_hist)
+            converged = proj_grad_norm(xt, gt) < tol
+            return LBFGSBState(xt, ft, gt, S, Y, rho, head, n_hist, evals, converged)
+
+        def on_fail(st):
+            # No acceptable step: terminate (NLOPT would report ROUNDOFF/XTOL).
+            return st._replace(evals=evals, done=jnp.ones((), bool))
+
+        return jax.lax.cond(accepted, on_accept, on_fail, st)
+
+    final = jax.lax.while_loop(cond, body, init)
+    converged = jnp.isfinite(final.f)
+    return LBFGSBResult(final.x, final.f, final.g, final.evals, converged)
+
+
+lbfgsb = partial(jax.jit, static_argnames=(
+    "fun", "max_evals", "tol", "history", "max_backtracks", "armijo_c1",
+))(lbfgsb_impl)

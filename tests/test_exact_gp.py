@@ -1,0 +1,256 @@
+"""Exact-GP tests: NLL/gradient/prediction parity against independent NumPy
+float64 computations of the reference formulas (GP.cpp), plus training
+behavior (noise-free mode, fixhyps, add_data, INF rescue)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+from gp_tpu import GP
+from gp_tpu.models import exact
+from gp_tpu.models.base import default_hyps, from_opt_vec, hyp_range, to_opt_vec
+from gp_tpu.ops.kernels import SE_ARD, SE_ISO
+
+
+# ---------------------------------------------------------------------------
+# Independent NumPy golden implementations (kept deliberately naive)
+# ---------------------------------------------------------------------------
+
+def np_seard_k(chyp, x1, x2):
+    d = x1.shape[1]
+    ell = np.exp(chyp[:d])
+    sf2 = np.exp(2 * chyp[d])
+    diff = (x1[:, None, :] - x2[None, :, :]) / ell
+    return sf2 * np.exp(-0.5 * np.sum(diff**2, axis=-1))
+
+
+def np_nll(hyp, x, y):
+    """GP::_calcNegLogProb golden (GP.cpp:120-148)."""
+    n, d = x.shape
+    sn2 = np.exp(2 * hyp[-2])
+    mean = hyp[-1]
+    K = np_seard_k(hyp[:-2], x, x) + sn2 * np.eye(n)
+    r = y - mean
+    alpha = np.linalg.solve(K, r)
+    sign, logdet = np.linalg.slogdet(K)
+    return 0.5 * r @ alpha + 0.5 * logdet + 0.5 * n * np.log(2 * np.pi)
+
+
+def np_predict(hyp, x, y, xs):
+    """GP::_predict golden (GP.cpp:273-283)."""
+    n = x.shape[0]
+    sn2 = np.exp(2 * hyp[-2])
+    mean = hyp[-1]
+    sf2 = np.exp(2 * hyp[-3])
+    K = np_seard_k(hyp[:-2], x, x) + sn2 * np.eye(n)
+    kt = np_seard_k(hyp[:-2], xs, x)
+    invKys = np.linalg.solve(K, y - mean)
+    mu = mean + kt @ invKys
+    kks = np.linalg.solve(K, kt.T)
+    s2 = np.maximum(sf2 - np.sum(kt * kks.T, axis=1), 0.0) + sn2
+    return mu, s2
+
+
+@pytest.fixture(scope="module")
+def hyp_toy():
+    return np.array([0.4, 0.1, -0.3, 0.2, -2.0, 0.05])  # d=3 SEard + noise + mean
+
+
+def test_nll_matches_numpy(toy_problem, hyp_toy):
+    X, y, _, _ = toy_problem
+    ours = float(exact.nll(SE_ARD, jnp.asarray(hyp_toy), jnp.asarray(X),
+                           jnp.asarray(y)))
+    assert ours == pytest.approx(np_nll(hyp_toy, X, y), rel=1e-10)
+
+
+def test_nll_gradient_finite_differences(toy_problem, hyp_toy):
+    """Analog of GP::_likelihood_gradient_checking (GP.cpp:486-507)."""
+    X, y, _, _ = toy_problem
+    f = lambda h: exact.nll_raw(SE_ARD, h, jnp.asarray(X), jnp.asarray(y))
+    check_grads(f, (jnp.asarray(hyp_toy),), order=1, modes=("rev",),
+                rtol=1e-6, atol=1e-8)
+
+
+def test_nll_inf_for_non_spd(toy_problem):
+    X, y, _, _ = toy_problem
+    # absurd hyp: sf enormous, noise 0 -> numerically singular
+    bad = np.array([30.0, 30.0, 30.0, 40.0, -np.inf, 0.0])
+    v = float(exact.nll(SE_ARD, jnp.asarray(bad), jnp.asarray(X), jnp.asarray(y)))
+    assert np.isinf(v)
+    # objective_vg sanitizes to (inf, 0)
+    fv, g = exact.objective_vg(SE_ARD, False, jnp.asarray(bad), jnp.asarray(X),
+                               jnp.asarray(y))
+    assert np.isinf(float(fv))
+    assert np.all(np.asarray(g) == 0)
+
+
+def test_default_hyps_match_reference_formulas(toy_problem):
+    X, y, _, _ = toy_problem
+    hyp = default_hyps(SE_ARD, X, y, noise_lb=1e-3, noise_free=False)
+    np.testing.assert_allclose(hyp[:3], np.log(np.std(X, axis=0, ddof=1)))
+    assert hyp[3] == pytest.approx(np.log(np.std(y, ddof=1)))
+    assert hyp[4] == pytest.approx(
+        max(np.log(1e-3), np.log(np.std(y, ddof=1) * 1e-3)))
+    assert hyp[5] == pytest.approx(y.mean())
+    # noise-free pins log sigma_n at -inf (GP.cpp:89)
+    hyp_nf = default_hyps(SE_ARD, X, y, noise_lb=0.0, noise_free=True)
+    assert hyp_nf[4] == -np.inf
+
+
+def test_hyp_range_noise_and_mean_rows(toy_problem):
+    X, y, _, _ = toy_problem
+    lb, ub = hyp_range(SE_ARD, X, y, noise_lb=1e-3)
+    assert lb[4] == pytest.approx(np.log(1e-3), rel=1e-9)
+    cov_lb, cov_ub = SE_ARD.hyp_range(X, y)
+    assert ub[4] == pytest.approx(max(np.log(1e-2), cov_ub[-1]), rel=1e-9)
+    assert lb[5] <= y.min() and ub[5] >= y.max()
+
+
+def test_opt_vec_packing():
+    hyp = jnp.array([1.0, 2.0, 3.0, -5.0, 0.7])
+    v = to_opt_vec(hyp, True)
+    assert v.shape == (4,)
+    np.testing.assert_allclose(np.asarray(v), [1.0, 2.0, 3.0, 0.7])
+    h = from_opt_vec(v, True)
+    np.testing.assert_allclose(np.asarray(h[:3]), [1.0, 2.0, 3.0])
+    assert np.isneginf(float(h[3]))
+    assert float(h[4]) == 0.7
+    # identity when noise is optimized
+    np.testing.assert_allclose(np.asarray(from_opt_vec(hyp, False)),
+                               np.asarray(hyp))
+
+
+def test_train_matches_scipy(toy_problem):
+    """End-to-end MLE: our jitted L-BFGS-B must reach the same optimum as
+    scipy L-BFGS-B on the identical objective (NLOPT-SLSQP stand-in)."""
+    from scipy.optimize import minimize
+
+    X, y, _, _ = toy_problem
+    gp = GP(X, y)
+    nlz = gp.train()
+
+    lb, ub = gp.hyp_bounds()
+    vec0 = np.clip(gp.get_default_hyps(), lb, ub)
+
+    def fg(v):
+        f, g = exact.objective_vg(SE_ARD, False, jnp.asarray(v), gp._x, gp._y)
+        return float(f), np.asarray(g)
+
+    sp = minimize(fg, vec0, jac=True, method="L-BFGS-B",
+                  bounds=list(zip(lb, ub)), options={"maxiter": 300})
+    assert nlz == pytest.approx(sp.fun, abs=1e-4)
+    assert gp.trained
+
+
+def test_predict_matches_numpy(toy_problem):
+    X, y, Xs, _ = toy_problem
+    gp = GP(X, y)
+    gp.train()
+    hyp = gp.get_hyp()
+    mu, s2 = gp.batch_predict(Xs)
+    mu_np, s2_np = np_predict(hyp, X, y, Xs)
+    np.testing.assert_allclose(mu, mu_np, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(s2, s2_np, rtol=1e-6, atol=1e-10)
+    # split fast paths agree with the combined one
+    np.testing.assert_allclose(gp.batch_predict_y(Xs), mu, rtol=1e-12)
+    np.testing.assert_allclose(gp.batch_predict_s2(Xs), s2, rtol=1e-12)
+
+
+def test_predict_gradients_finite_differences(toy_problem):
+    X, y, Xs, _ = toy_problem
+    gp = GP(X, y)
+    gp.train()
+    xs = Xs[0]
+    eps = 1e-6
+    _, gy = gp.predict_y_with_grad(xs)
+    _, gs2 = gp.predict_s2_with_grad(xs)
+    for i in range(3):
+        e = np.zeros(3); e[i] = eps
+        fd_y = (gp.predict_y(xs + e) - gp.predict_y(xs - e)) / (2 * eps)
+        fd_s2 = (gp.predict_s2(xs + e) - gp.predict_s2(xs - e)) / (2 * eps)
+        assert gy[i] == pytest.approx(fd_y, rel=1e-4, abs=1e-7)
+        assert gs2[i] == pytest.approx(fd_s2, rel=1e-4, abs=1e-7)
+
+
+def test_predict_quality(toy_problem):
+    """The fit actually explains the toy function."""
+    X, y, Xs, fs = toy_problem
+    gp = GP(X, y)
+    gp.train()
+    mu, s2 = gp.batch_predict(Xs)
+    rmse = np.sqrt(np.mean((mu - fs) ** 2))
+    assert rmse < 0.15
+    assert (s2 > 0).all()
+
+
+def test_fixhyps(toy_problem):
+    X, y, _, _ = toy_problem
+    gp = GP(X, y)
+    gp.set_fixed(True)
+    hyp0 = gp.get_default_hyps()
+    nlz = gp.train(hyp0)
+    # hyps unchanged by training (GP.cpp:200-206)
+    np.testing.assert_allclose(gp.get_hyp(), hyp0, rtol=1e-12)
+    assert np.isfinite(nlz)
+
+
+def test_noise_free_mode(toy_problem):
+    X, y, _, _ = toy_problem
+    gp = GP(X, y)
+    gp.set_noise_free(True)
+    nlz = gp.train()
+    hyp = gp.get_hyp()
+    assert np.isfinite(nlz)
+    # trained sn stays at -inf unless _setK had to inflate (interpolation => tiny s2)
+    mu = gp.batch_predict_y(X[:5])
+    np.testing.assert_allclose(mu, y[:5], atol=1e-3)
+
+
+def test_add_data_invalidates(toy_problem):
+    X, y, _, _ = toy_problem
+    gp = GP(X[:40], y[:40])
+    gp.train()
+    assert gp.trained
+    gp.add_data(X[40:], y[40:])
+    assert not gp.trained
+    assert gp.num_train == 60
+    gp.train()
+    assert gp.trained
+
+
+def test_train_from_infinite_start_uses_multistart(toy_problem):
+    """GP.cpp:196-198: infinite starting NLL triggers select_init_hyp."""
+    X, y, _, _ = toy_problem
+    gp = GP(X, y)
+    bad = gp.get_default_hyps()
+    bad[:3] = -40.0  # absurdly small length scales -> singular K...
+    bad[-2] = -40.0  # and zero noise
+    nlz = gp.train(bad)
+    assert np.isfinite(nlz)
+
+
+def test_seiso_end_to_end(toy_problem):
+    X, y, Xs, fs = toy_problem
+    gp = GP(X, y, kernel="se_iso")
+    nlz = gp.train()
+    assert np.isfinite(nlz)
+    assert gp.num_hyp == 4
+    mu = gp.batch_predict_y(Xs)
+    rmse = np.sqrt(np.mean((mu - fs) ** 2))
+    assert rmse < 0.4
+
+
+def test_reference_data_subset(ref_data_small):
+    """Trainability + sane posterior on the bundled dataset's head."""
+    X, y, Xs, ys = ref_data_small
+    gp = GP(X, y)
+    nlz = gp.train()
+    assert np.isfinite(nlz)
+    mu, s2 = gp.batch_predict(Xs)
+    assert np.isfinite(mu).all() and (s2 > 0).all()
+    # beats predicting the mean
+    base = np.sqrt(np.mean((y.mean() - ys) ** 2))
+    rmse = np.sqrt(np.mean((mu - ys) ** 2))
+    assert rmse < base
