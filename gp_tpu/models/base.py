@@ -72,7 +72,8 @@ def default_hyps(kernel: KernelSpec, x, y, noise_lb: float,
     if noise_free:
         log_sn = -np.inf
     else:
-        log_sn = max(np.log(noise_lb), np.log(np.std(y, ddof=1) * 1e-3))
+        with np.errstate(divide="ignore"):  # std(y)=0 or noise_lb=0 -> -inf
+            log_sn = max(np.log(noise_lb), np.log(np.std(y, ddof=1) * 1e-3))
     return np.concatenate([cov, [log_sn, y.mean()]])
 
 
@@ -132,6 +133,8 @@ class GPBase:
         self._hyps = None
         self._key = jax.random.PRNGKey(seed)
         self._post = None            # model-specific posterior cache
+        self._ms_fun = None          # cached multistart objective closure
+        self._obj_fun = None         # cached (f,g) objective closure
 
     # -- accessors mirroring GP.h:84-101 ------------------------------------
     @property
@@ -172,9 +175,14 @@ class GPBase:
     def set_fixed(self, flag: bool):
         self._fixhyps = bool(flag)
 
+    def _invalidate_closures(self):
+        self._ms_fun = None
+        self._obj_fun = None
+
     def set_noise_free(self, flag: bool):
         """GP.cpp:79-84."""
         self._noise_free = bool(flag)
+        self._invalidate_closures()
         if self._noise_free:
             self._noise_lb = 0.0
 
@@ -202,6 +210,7 @@ class GPBase:
         self._x = jnp.concatenate([self._x, x], axis=0)
         self._y = jnp.concatenate([self._y, y], axis=0)
         self._trained = False
+        self._invalidate_closures()
 
     def get_default_hyps(self) -> np.ndarray:
         return default_hyps(self.kernel, self._x, self._y, self._noise_lb,
@@ -301,3 +310,81 @@ class GPBase:
 
     def _run_local_opt(self, vec0, lb_v, ub_v):
         raise NotImplementedError
+
+    def _objective_closure(self) -> Callable:
+        """fun(vec) -> (f, g) over the optimization vector (for multi-start)."""
+        raise NotImplementedError
+
+    def train_multistart(self, n_starts: int = 8, init_hyps=None) -> float:
+        """Multi-start MLE: n_starts bounded L-BFGS runs — the default start
+        plus uniform random ones — executed as ONE vmapped program (each
+        optimizer iteration factors n_starts kernel matrices in a single
+        batched MXU call).  Keeps the best finite optimum.
+
+        This is the TPU-native upgrade over the reference's single local
+        SLSQP run: GP marginal likelihoods are multi-modal (e.g. the
+        noise-only attractor), and restarts are nearly free when batched.
+        On a device mesh the restarts shard across chips
+        (gp_tpu.parallel.pmultistart).
+        """
+        from ..optim.multistart import multistart_lbfgsb
+
+        if init_hyps is None:
+            init_hyps = self.get_default_hyps()
+        hyps = np.array(np.asarray(init_hyps), np.float64)
+        if self._noise_free:
+            hyps[-2] = -np.inf
+
+        lb, ub = self.hyp_bounds()
+        lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
+        ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
+        vec0 = jnp.clip(
+            to_opt_vec(jnp.asarray(hyps, self._dtype), self._noise_free),
+            lb_v, ub_v)
+
+        fun = self._objective_closure()
+        res = multistart_lbfgsb(fun, self._next_key(), lb_v, ub_v, vec0,
+                                n_starts=n_starts, max_evals=self._MAX_EVAL)
+        self._hyps = from_opt_vec(res.x, self._noise_free)
+        self._update_posterior()
+        self._trained = True
+        return self.nll(self._hyps)
+
+    # -- shared prediction surface (GP.h:104-119) ----------------------------
+    # Subclasses implement the batch_* methods; the scalar wrappers
+    # (GP.cpp:335-403) are shared.
+
+    def _require_trained(self):
+        if not self._trained:
+            raise RuntimeError("model is not trained; call train() first")
+
+    def _as_batch(self, xs):
+        xs = jnp.asarray(np.asarray(xs, np.float64), self._dtype)
+        if xs.ndim == 1:
+            xs = xs[None, :]
+        if xs.shape[1] != self._dim:
+            raise ValueError(f"test points must have dim {self._dim}")
+        return xs
+
+    def predict_y(self, xs) -> float:
+        return float(self.batch_predict_y(xs)[0])
+
+    def predict_s2(self, xs) -> float:
+        return float(self.batch_predict_s2(xs)[0])
+
+    def predict(self, xs):
+        y, s2 = self.batch_predict(xs)
+        return float(y[0]), float(s2[0])
+
+    def predict_y_with_grad(self, xs):
+        y, g = self.batch_predict_y_with_grad(xs)
+        return float(y[0]), g[0]
+
+    def predict_s2_with_grad(self, xs):
+        s2, g = self.batch_predict_s2_with_grad(xs)
+        return float(s2[0]), g[0]
+
+    def predict_with_grad(self, xs):
+        y, gy = self.predict_y_with_grad(xs)
+        s2, gs2 = self.predict_s2_with_grad(xs)
+        return y, s2, gy, gs2

@@ -186,7 +186,7 @@ class GP(GPBase):
         return nll(self.kernel, hyp, self._x, self._y)
 
     def _multistart_objective(self):
-        fun = getattr(self, "_ms_fun", None)
+        fun = self._ms_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
             x, y = self._x, self._y
@@ -194,6 +194,15 @@ class GP(GPBase):
             self._ms_fun = fun
         return fun
 
+
+    def _objective_closure(self):
+        fun = self._obj_fun
+        if fun is None:
+            kernel, noise_free = self.kernel, self._noise_free
+            x, y = self._x, self._y
+            fun = lambda v: objective_vg(kernel, noise_free, v, x, y)
+            self._obj_fun = fun
+        return fun
     def _run_local_opt(self, vec0, lb_v, ub_v):
         return fit(self.kernel, self._noise_free, self._x, self._y,
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
@@ -204,17 +213,7 @@ class GP(GPBase):
         self._post = (L, invKys)
 
     # -- prediction API (GP.h:104-119) --------------------------------------
-    def _require_trained(self):
-        if not self._trained:
-            raise RuntimeError("model is not trained; call train() first")
 
-    def _as_batch(self, xs):
-        xs = jnp.asarray(np.asarray(xs, np.float64), self._dtype)
-        if xs.ndim == 1:
-            xs = xs[None, :]
-        if xs.shape[1] != self._dim:
-            raise ValueError(f"test points must have dim {self._dim}")
-        return xs
 
     def batch_predict(self, xs):
         self._require_trained()
@@ -249,26 +248,3 @@ class GP(GPBase):
                                        self._as_batch(xs))
         return np.asarray(s2), np.asarray(gs2)
 
-    # scalar convenience wrappers (GP.cpp:335-403)
-    def predict_y(self, xs) -> float:
-        return float(self.batch_predict_y(xs)[0])
-
-    def predict_s2(self, xs) -> float:
-        return float(self.batch_predict_s2(xs)[0])
-
-    def predict(self, xs):
-        y, s2 = self.batch_predict(xs)
-        return float(y[0]), float(s2[0])
-
-    def predict_y_with_grad(self, xs):
-        y, g = self.batch_predict_y_with_grad(xs)
-        return float(y[0]), g[0]
-
-    def predict_s2_with_grad(self, xs):
-        s2, g = self.batch_predict_s2_with_grad(xs)
-        return float(s2[0]), g[0]
-
-    def predict_with_grad(self, xs):
-        y, gy = self.predict_y_with_grad(xs)
-        s2, gs2 = self.predict_s2_with_grad(xs)
-        return y, s2, gy, gs2

@@ -58,8 +58,9 @@ def _seard_default_hyp(x, y):
     x = np.asarray(x)
     y = np.asarray(y).ravel()
     hyp = np.empty(x.shape[1] + 1)
-    hyp[:-1] = np.log(np.std(x, axis=0, ddof=1))
-    hyp[-1] = np.log(np.std(y, ddof=1))
+    with np.errstate(divide="ignore"):  # constant column/target -> -inf
+        hyp[:-1] = np.log(np.std(x, axis=0, ddof=1))
+        hyp[-1] = np.log(np.std(y, ddof=1))
     return hyp
 
 
