@@ -1,0 +1,120 @@
+"""Distributed blocked Cholesky / solves vs dense references (8-dev CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gp_tpu.parallel.mesh import make_mesh
+from gp_tpu.parallel import pchol
+
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(NDEV, axis_name="rows")
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def _shard_rows(mesh, fn, n_out=1):
+    spec = P(None, "rows")
+    out = spec if n_out == 1 else tuple([spec] * n_out)
+    return shard_map(fn, mesh=mesh, in_specs=spec, out_specs=out)
+
+
+def test_pchol_matches_dense(mesh):
+    n, B = 64, 4
+    K = _spd(n)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+
+    fn = _shard_rows(mesh, lambda kl: pchol.pchol_local(
+        kl.squeeze(1), NDEV, "rows")[:, None])
+    Lb = jax.jit(fn)(Kb)
+    L = pchol.unblocked_layout(np.asarray(Lb))
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, L_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_pchol_logdet(mesh):
+    n, B = 32, 4
+    K = _spd(n, 1)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+
+    def body(kl):
+        L = pchol.pchol_local(kl.squeeze(1), NDEV, "rows")
+        return pchol.plogdet_local(L, NDEV, "rows")
+
+    ld = jax.jit(shard_map(body, mesh=mesh, in_specs=P(None, "rows"),
+                           out_specs=P()))(Kb)
+    _, ld_ref = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-10)
+
+
+def test_ptrsm_and_chol_solve(mesh):
+    n, B, t = 64, 8, 5
+    K = _spd(n, 2)
+    rng = np.random.default_rng(3)
+    R = rng.standard_normal((n, t))
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+    Rb = pchol.blocked_layout(jnp.asarray(R), NDEV, B)
+
+    def body(kl, rl):
+        L = pchol.pchol_local(kl.squeeze(1), NDEV, "rows")
+        rl = rl.squeeze(1)
+        W = pchol.ptrsm_lower_local(L, rl, NDEV, "rows")
+        X = pchol.ptrsm_lowerT_local(L, W, NDEV, "rows")
+        Y = pchol.pchol_solve_local(L, rl, NDEV, "rows")
+        return W[:, None], X[:, None], Y[:, None]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(None, "rows"), P(None, "rows")),
+                   out_specs=(P(None, "rows"),) * 3)
+    Wb, Xb, Yb = jax.jit(fn)(Kb, Rb)
+    W = pchol.unblocked_layout(np.asarray(Wb))
+    X = pchol.unblocked_layout(np.asarray(Xb))
+    Y = pchol.unblocked_layout(np.asarray(Yb))
+
+    L_ref = np.linalg.cholesky(K)
+    import scipy.linalg as sla
+    W_ref = sla.solve_triangular(L_ref, R, lower=True)
+    np.testing.assert_allclose(W, W_ref, rtol=1e-9, atol=1e-9)
+    X_ref = np.linalg.solve(K, R)
+    np.testing.assert_allclose(X, X_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(Y, X_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_pinv_from_chol(mesh):
+    n, B = 32, 4
+    K = _spd(n, 4)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+
+    def body(kl):
+        L = pchol.pchol_local(kl.squeeze(1), NDEV, "rows")
+        return pchol.pinv_from_chol_local(L, NDEV, "rows")[:, None]
+
+    Zb = jax.jit(shard_map(body, mesh=mesh, in_specs=P(None, "rows"),
+                           out_specs=P(None, "rows")))(Kb)
+    Z = pchol.unblocked_layout(np.asarray(Zb))
+    np.testing.assert_allclose(Z, np.linalg.inv(K), rtol=1e-8, atol=1e-9)
+
+
+def test_pchol_nonspd_produces_nan(mesh):
+    n, B = 32, 4
+    K = _spd(n, 5)
+    K = K - 2 * n * np.eye(n)          # indefinite
+    assert np.min(np.linalg.eigvalsh(K)) < 0
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+    fn = _shard_rows(mesh, lambda kl: pchol.pchol_local(
+        kl.squeeze(1), NDEV, "rows")[:, None])
+    Lb = np.asarray(jax.jit(fn)(Kb))
+    assert not np.all(np.isfinite(Lb))

@@ -1,0 +1,104 @@
+"""Distributed exact-GP (parallel/pgp.py) vs the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_tpu import SE_ARD, SE_ISO
+from gp_tpu.models import exact
+from gp_tpu.models.base import default_hyps, hyp_range, sanitize_value_and_grad
+from gp_tpu.parallel.mesh import make_mesh
+from gp_tpu.parallel import pgp
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(NDEV, axis_name="rows")
+
+
+@pytest.fixture(scope="module")
+def prob():
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-2, 2, (60, 3))          # 60 not a multiple of 8*4=32
+    y = np.sin(X[:, 0]) - 0.3 * X[:, 1] ** 2 + 0.05 * rng.standard_normal(60)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("kernel", [SE_ARD, SE_ISO], ids=["ard", "iso"])
+def test_pnll_matches_single_device(mesh, prob, kernel):
+    x, y = prob
+    hyp = jnp.asarray(default_hyps(kernel, x, y, 1e-3, False))
+    f_ref, g_ref = sanitize_value_and_grad(
+        *jax.value_and_grad(lambda h: exact.nll_raw(kernel, h, x, y))(hyp))
+    f, g = pgp.pnll_vg(kernel, hyp, x, y, mesh, block=4)
+    np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_pnll_grad_multiple_points(mesh, prob):
+    """Analytic distributed gradient == autodiff at several random hyps."""
+    x, y = prob
+    rng = np.random.default_rng(1)
+    base = default_hyps(SE_ARD, x, y, 1e-3, False)
+    for _ in range(3):
+        hyp = jnp.asarray(base + 0.3 * rng.standard_normal(base.shape))
+        f_ref, g_ref = jax.value_and_grad(
+            lambda h: exact.nll_raw(SE_ARD, h, x, y))(hyp)
+        f, g = pgp.pnll_vg(SE_ARD, hyp, x, y, mesh, block=4)
+        np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_pfit_matches_single_device_fit(mesh, prob):
+    x, y = prob
+    hyp0 = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+    lb, ub = hyp_range(SE_ARD, x, y, 1e-3)
+    lb, ub = jnp.asarray(lb), jnp.asarray(ub)
+    vec0 = jnp.clip(hyp0, lb, ub)
+
+    res_ref = exact.fit(SE_ARD, False, x, y, vec0, lb, ub, max_evals=60)
+    res = pgp.pfit(SE_ARD, False, x, y, vec0, lb, ub, mesh, block=4,
+                   max_evals=60)
+    assert np.isfinite(float(res.f))
+    # Same objective, same optimizer, same start: optima should agree tightly.
+    np.testing.assert_allclose(float(res.f), float(res_ref.f),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pset_k_and_ppredict(mesh, prob):
+    x, y = prob
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(rng.uniform(-2, 2, (17, 3)))
+    hyp = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+
+    hyp_ref, L_ref, invKys_ref = exact.set_k(SE_ARD, hyp, x, y)
+    mu_ref, s2_ref = exact.predict(SE_ARD, hyp_ref, x, L_ref, invKys_ref, xs)
+
+    hyp_d, L, invKys = pgp.pset_k(SE_ARD, hyp, x, y, mesh, block=4)
+    np.testing.assert_allclose(np.asarray(hyp_d), np.asarray(hyp_ref),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(invKys), np.asarray(invKys_ref),
+                               rtol=1e-8, atol=1e-9)
+    mu, s2 = pgp.ppredict(SE_ARD, hyp_d, x, L, invKys, xs, mesh, block=4)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_pset_k_noise_inflation(mesh):
+    """Duplicated points + tiny noise force the inflation rescue loop."""
+    rng = np.random.default_rng(3)
+    X = np.repeat(rng.uniform(-1, 1, (16, 2)), 2, axis=0)
+    y = np.sin(X[:, 0])
+    x, y = jnp.asarray(X), jnp.asarray(y)
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
+    hyp[-2] = np.log(1e-12)                    # absurdly small noise
+    hyp_d, L, invKys = pgp.pset_k(SE_ARD, jnp.asarray(hyp), x, y, mesh,
+                                  block=4)
+    assert np.all(np.isfinite(np.asarray(invKys)))
+    assert float(hyp_d[-2]) > np.log(1e-12)    # noise was inflated
