@@ -350,6 +350,18 @@ class GPBase:
         self._trained = True
         return self.nll(self._hyps)
 
+    # -- checkpoint / resume (new capability; reference persists nothing) ----
+    def save(self, path: str) -> None:
+        """Serialize model + posterior cache to an .npz checkpoint."""
+        from ..utils.checkpoint import save_model
+        save_model(self, path)
+
+    @staticmethod
+    def load(path: str):
+        """Restore a model saved by `save` (no refactorization needed)."""
+        from ..utils.checkpoint import load_model
+        return load_model(path)
+
     # -- shared prediction surface (GP.h:104-119) ----------------------------
     # Subclasses implement the batch_* methods; the scalar wrappers
     # (GP.cpp:335-403) are shared.

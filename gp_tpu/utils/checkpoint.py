@@ -1,0 +1,87 @@
+"""Model checkpoint / resume.
+
+The reference persists nothing (SURVEY.md section 5: model state lives in
+`_hyps` + solver factors; refitting is O(N^3)).  Here a fitted model —
+training data, hyperparameters, AND the posterior cache (Cholesky factors,
+alpha) — serializes to a single ``.npz`` so prediction service can resume
+without refactorizing.
+
+Format: numpy savez with a ``meta`` json string + named arrays.  Works for
+GP / FITC / VFE; the model class is recorded and re-instantiated by
+``load_model``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def save_model(model, path: str) -> None:
+    """Serialize a (possibly trained) GP/FITC/VFE to `path` (.npz)."""
+    arrays = {
+        "x": np.asarray(model._x),
+        "y": np.asarray(model._y),
+    }
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "model": type(model).__name__,
+        "kernel": model.kernel.name,
+        "dtype": jnp.dtype(model._dtype).name,
+        "noise_lb": model._noise_lb,
+        "noise_free": model._noise_free,
+        "fixhyps": model._fixhyps,
+        "trained": model._trained,
+    }
+    if model._hyps is not None:
+        arrays["hyps"] = np.asarray(model._hyps)
+    if hasattr(model, "_u"):
+        arrays["inducing"] = np.asarray(model._u)
+        meta["jitter_u"] = float(model._jitter_u)
+    if model._trained and model._post is not None:
+        for i, a in enumerate(model._post):
+            arrays[f"post_{i}"] = np.asarray(a)
+        meta["num_post"] = len(model._post)
+    arrays["key"] = np.asarray(model._key)
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_model(path: str):
+    """Reconstruct the model saved by `save_model` (posterior cache intact —
+    no refactorization)."""
+    import jax
+
+    from ..models.exact import GP
+    from ..models.fitc import FITC
+    from ..models.vfe import VFE
+
+    classes = {"GP": GP, "FITC": FITC, "VFE": VFE}
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {meta['format_version']} is newer than "
+                f"this library ({_FORMAT_VERSION})")
+        cls = classes[meta["model"]]
+        model = cls(z["x"], z["y"], kernel=meta["kernel"],
+                    dtype=meta["dtype"])
+        model._noise_lb = meta["noise_lb"]
+        model._noise_free = meta["noise_free"]
+        model._fixhyps = meta["fixhyps"]
+        dt = model._dtype
+        if "hyps" in z:
+            model._hyps = jnp.asarray(z["hyps"], dt)
+        if "inducing" in z:
+            model._u = jnp.asarray(z["inducing"], dt)
+            model._jitter_u = meta["jitter_u"]
+        if meta["trained"] and "num_post" in meta:
+            model._post = tuple(
+                jnp.asarray(z[f"post_{i}"], dt)
+                for i in range(meta["num_post"]))
+            model._trained = True
+        model._key = jnp.asarray(z["key"], jnp.uint32)
+    return model
