@@ -155,6 +155,19 @@ SE_ISO = KernelSpec(
 KERNELS = {"se_ard": SE_ARD, "se_iso": SE_ISO}
 
 
+def _register_pallas_variants():
+    """Fused Pallas builds of the same covariances (ops/pallas_kernels.py):
+    identical contract and hyp packing, single-pass K construction on TPU."""
+    from .pallas_kernels import seard_k_pallas, seiso_k_pallas
+    KERNELS["se_ard_pallas"] = SE_ARD._replace(name="se_ard_pallas",
+                                               k=seard_k_pallas)
+    KERNELS["se_iso_pallas"] = SE_ISO._replace(name="se_iso_pallas",
+                                               k=seiso_k_pallas)
+
+
+_register_pallas_variants()
+
+
 def get_kernel(name_or_spec) -> KernelSpec:
     """Factory mirroring GP::_specify_cov (GP.cpp:575-587)."""
     if isinstance(name_or_spec, KernelSpec):
