@@ -111,7 +111,7 @@ class GPBase:
     _MAX_EVAL = 160  # GP.cpp:232; FITC=130, VFE=150 override
 
     def __init__(self, train_x, train_y, kernel="se_ard", dtype=None,
-                 seed: int = DEFAULT_SEED):
+                 seed: int = DEFAULT_SEED, solver="chol"):
         x = np.asarray(train_x, dtype=np.float64)
         y = np.asarray(train_y, dtype=np.float64).ravel()
         if x.ndim != 2:
@@ -120,6 +120,10 @@ class GPBase:
             raise ValueError("train_x and train_y must agree on num_points "
                              f"({x.shape[0]} vs {y.shape[0]})")
         self.kernel = get_kernel(kernel)
+        from ..ops.solvers import get_solver
+        self.solver = get_solver(solver)   # exact GP honors this; the
+        # sparse models always use Cholesky + jitter doubling (their
+        # TPU-native equivalent of the reference's QR fallback)
         self._dtype = jnp.dtype(dtype) if dtype is not None else default_dtype()
         self._x = jnp.asarray(x, self._dtype)
         self._y = jnp.asarray(y, self._dtype)

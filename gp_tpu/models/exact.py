@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import INF
-from ..ops.chol import (chol_solve, cholesky, noise_escalated_cholesky)
 from ..ops.kernels import KernelSpec
+from ..ops.solvers import CHOL, SolverSpec
 from ..optim.lbfgsb import lbfgsb_impl
 from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
                    sanitize_value_and_grad, to_opt_vec)
@@ -36,10 +36,12 @@ from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
 # Pure functions
 # --------------------------------------------------------------------------
 
-def nll_raw(kernel: KernelSpec, hyp, x, y):
+def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
     """Negative log marginal likelihood; NaN/inf propagate (sanitize outside).
 
-    GP::_calcNegLogProb (GP.cpp:120-148).
+    GP::_calcNegLogProb (GP.cpp:120-148).  `solver` is the pluggable
+    MatrixSolver strategy (ops/solvers.py): CHOL fails (-> INF) on
+    indefinite K, QR computes log|det| like the reference's QR path.
     """
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc]
@@ -47,62 +49,88 @@ def nll_raw(kernel: KernelSpec, hyp, x, y):
     mean = hyp_mean(hyp)
     n = x.shape[0]
     K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
-    L = cholesky(K)
+    f = solver.factor(K)
     r = y - mean
-    alpha = chol_solve(L, r)
+    alpha = solver.solve(f, r)
     data_fit = 0.5 * jnp.dot(r, alpha)
-    complexity = jnp.sum(jnp.log(jnp.diagonal(L)))  # 0.5 * log|K|
     norm_const = 0.5 * n * jnp.log(2 * jnp.pi)
-    return data_fit + complexity + norm_const
+    return data_fit + 0.5 * solver.logdet(f) + norm_const
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def nll(kernel: KernelSpec, hyp, x, y):
-    v = nll_raw(kernel, hyp, x, y)
+@partial(jax.jit, static_argnames=("kernel", "solver"))
+def nll(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
+    v = nll_raw(kernel, hyp, x, y, solver)
     return jnp.where(jnp.isfinite(v), v, INF)
 
 
-def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y):
+def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y,
+                 solver: SolverSpec = CHOL):
     """(value, grad) over the optimization vector, INF-sanitized."""
     f, g = jax.value_and_grad(
-        lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y)
+        lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y, solver)
     )(vec)
     return sanitize_value_and_grad(f, g)
 
 
-def multistart_objective(kernel: KernelSpec, noise_free: bool, vec, x, y):
+def multistart_objective(kernel: KernelSpec, noise_free: bool, vec, x, y,
+                         solver: SolverSpec = CHOL):
     """NLL with the sn2 > mean(sf2) rejection (GP.cpp:470-471)."""
     hyp = from_opt_vec(vec, noise_free)
     nc = kernel.num_hyp(x.shape[1])
     sf2_mean = jnp.mean(kernel.diag_k(hyp[:nc], x))
-    v = nll_raw(kernel, hyp, x, y)
+    v = nll_raw(kernel, hyp, x, y, solver)
     ok = jnp.isfinite(v) & (hyp_sn2(hyp) <= sf2_mean)
     return jnp.where(ok, v, INF)
 
 
-@partial(jax.jit, static_argnames=("kernel", "noise_free", "max_evals"))
+@partial(jax.jit,
+         static_argnames=("kernel", "noise_free", "max_evals", "solver"))
 def fit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
-        max_evals: int = 160):
+        max_evals: int = 160, solver: SolverSpec = CHOL):
     """The full bounded local MLE optimization as one jitted program."""
-    fun = lambda v: objective_vg(kernel, noise_free, v, x, y)
+    fun = lambda v: objective_vg(kernel, noise_free, v, x, y, solver)
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def set_k(kernel: KernelSpec, hyp, x, y):
-    """Posterior cache (GP::_setK, GP.cpp:423-444): factor K with noise
-    inflation until SPD, cache invKys.  Returns (hyp', L, invKys) — hyp' may
-    carry inflated noise, as the reference mutates _hyps."""
+@partial(jax.jit, static_argnames=("kernel", "solver", "max_tries"))
+def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
+          max_tries: int = 64):
+    """Posterior cache (GP::_setK, GP.cpp:423-444): factor K, inflating the
+    noise until the solver accepts it (log_sn += log sqrt(10), restarting at
+    log eps from -inf — GP.cpp:431-440), then cache invKys.
+
+    Returns (hyp', factors, invKys) — hyp' may carry inflated noise, as the
+    reference mutates _hyps.
+    """
     nc = kernel.num_hyp(x.shape[1])
     Kcov = kernel.k(hyp[:nc], x, x)
-    L, log_sn, _ok = noise_escalated_cholesky(Kcov, hyp[-2])
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
+    log_sn0 = jnp.asarray(hyp[-2], x.dtype)
+
+    def factor(ls):
+        return solver.factor(Kcov + jnp.exp(2.0 * ls) * eye)
+
+    def cond(state):
+        f, ls, tries = state
+        return jnp.logical_and(~solver.ok(f), tries < max_tries)
+
+    def body(state):
+        f, ls, tries = state
+        ls = jnp.where(jnp.isinf(ls), jnp.log(eps), ls + 0.5 * jnp.log(10.0))
+        return factor(ls), ls, tries + 1
+
+    f, log_sn, _ = jax.lax.while_loop(
+        cond, body, (factor(log_sn0), log_sn0, jnp.zeros((), jnp.int32)))
     hyp = hyp.at[-2].set(log_sn)
-    invKys = chol_solve(L, y - hyp_mean(hyp))
-    return hyp, L, invKys
+    invKys = solver.solve(f, y - hyp_mean(hyp))
+    return hyp, f, invKys
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def predict(kernel: KernelSpec, hyp, x, L, invKys, xs):
+@partial(jax.jit, static_argnames=("kernel", "solver"))
+def predict(kernel: KernelSpec, hyp, x, f, invKys, xs,
+            solver: SolverSpec = CHOL):
     """Batched posterior mean + variance (GP::_predict, GP.cpp:273-283).
 
     y*  = mean + k* invKys
@@ -112,7 +140,7 @@ def predict(kernel: KernelSpec, hyp, x, L, invKys, xs):
     chyp = hyp[:nc]
     kt = kernel.k(chyp, xs, x)                    # (T, N)
     mu = hyp_mean(hyp) + kt @ invKys
-    kks = chol_solve(L, kt.T)                     # (N, T)
+    kks = solver.solve(f, kt.T)                   # (N, T)
     sf2 = kernel.diag_k(chyp, xs)
     s2 = jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
     return mu, s2
@@ -126,13 +154,13 @@ def predict_y(kernel: KernelSpec, hyp, x, invKys, xs):
     return hyp_mean(hyp) + kt @ invKys
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def predict_s2(kernel: KernelSpec, hyp, x, L, xs):
+@partial(jax.jit, static_argnames=("kernel", "solver"))
+def predict_s2(kernel: KernelSpec, hyp, x, f, xs, solver: SolverSpec = CHOL):
     """Variance-only path (GP::_predict_s2, GP.cpp:315-334)."""
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc]
     kt = kernel.k(chyp, xs, x)
-    kks = chol_solve(L, kt.T)
+    kks = solver.solve(f, kt.T)
     sf2 = kernel.diag_k(chyp, xs)
     return jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
 
@@ -143,11 +171,11 @@ def _predict_y_single(kernel, hyp, x, invKys, xi):
     return hyp_mean(hyp) + jnp.dot(kt, invKys)
 
 
-def _predict_s2_single(kernel, hyp, x, L, xi):
+def _predict_s2_single(kernel, hyp, x, f, xi, solver=CHOL):
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc]
     kt = kernel.k(chyp, xi[None, :], x)[0]
-    kks = chol_solve(L, kt)
+    kks = solver.solve(f, kt)
     sf2 = kernel.diag_k(chyp, xi[None, :])[0]
     quad = jnp.dot(kt, kks)
     raw = sf2 - quad + hyp_sn2(hyp)
@@ -165,10 +193,11 @@ def predict_y_with_grad(kernel: KernelSpec, hyp, x, invKys, xs):
     return jax.vmap(jax.value_and_grad(f))(xs)
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def predict_s2_with_grad(kernel: KernelSpec, hyp, x, L, xs):
-    f = lambda xi: _predict_s2_single(kernel, hyp, x, L, xi)
-    return jax.vmap(jax.value_and_grad(f))(xs)
+@partial(jax.jit, static_argnames=("kernel", "solver"))
+def predict_s2_with_grad(kernel: KernelSpec, hyp, x, f, xs,
+                         solver: SolverSpec = CHOL):
+    g = lambda xi: _predict_s2_single(kernel, hyp, x, f, xi, solver)
+    return jax.vmap(jax.value_and_grad(g))(xs)
 
 
 # --------------------------------------------------------------------------
@@ -176,75 +205,82 @@ def predict_s2_with_grad(kernel: KernelSpec, hyp, x, L, xs):
 # --------------------------------------------------------------------------
 
 class GP(GPBase):
-    """Exact GP with the reference's public API surface (GP.h:79-122)."""
+    """Exact GP with the reference's public API surface (GP.h:79-122).
+
+    `solver` selects the MatrixSolver strategy ("chol" | "qr"), mirroring
+    GP::MatrixDecomp (GP.h:22-26).
+    """
 
     _MAX_EVAL = 160
 
-    # posterior cache: (L, invKys)
+    # posterior cache: (*solver_factors, invKys)
 
     def _nll_value(self, hyp):
-        return nll(self.kernel, hyp, self._x, self._y)
+        return nll(self.kernel, hyp, self._x, self._y, self.solver)
 
     def _multistart_objective(self):
         fun = self._ms_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y = self._x, self._y
-            fun = lambda v: multistart_objective(kernel, noise_free, v, x, y)
+            x, y, solver = self._x, self._y, self.solver
+            fun = lambda v: multistart_objective(kernel, noise_free, v, x, y,
+                                                 solver)
             self._ms_fun = fun
         return fun
-
 
     def _objective_closure(self):
         fun = self._obj_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y = self._x, self._y
-            fun = lambda v: objective_vg(kernel, noise_free, v, x, y)
+            x, y, solver = self._x, self._y, self.solver
+            fun = lambda v: objective_vg(kernel, noise_free, v, x, y, solver)
             self._obj_fun = fun
         return fun
+
     def _run_local_opt(self, vec0, lb_v, ub_v):
         return fit(self.kernel, self._noise_free, self._x, self._y,
-                   vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
+                   vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
+                   solver=self.solver)
 
     def _update_posterior(self):
-        hyp, L, invKys = set_k(self.kernel, self._hyps, self._x, self._y)
+        hyp, f, invKys = set_k(self.kernel, self._hyps, self._x, self._y,
+                               self.solver)
         self._hyps = hyp
-        self._post = (L, invKys)
+        self._post = (*f, invKys)
+
+    def _factors(self):
+        return tuple(self._post[:-1])
 
     # -- prediction API (GP.h:104-119) --------------------------------------
 
 
     def batch_predict(self, xs):
         self._require_trained()
-        L, invKys = self._post
-        mu, s2 = predict(self.kernel, self._hyps, self._x, L, invKys,
-                         self._as_batch(xs))
+        mu, s2 = predict(self.kernel, self._hyps, self._x, self._factors(),
+                         self._post[-1], self._as_batch(xs), self.solver)
         return np.asarray(mu), np.asarray(s2)
 
     def batch_predict_y(self, xs):
         self._require_trained()
-        _, invKys = self._post
-        return np.asarray(predict_y(self.kernel, self._hyps, self._x, invKys,
-                                    self._as_batch(xs)))
+        return np.asarray(predict_y(self.kernel, self._hyps, self._x,
+                                    self._post[-1], self._as_batch(xs)))
 
     def batch_predict_s2(self, xs):
         self._require_trained()
-        L, _ = self._post
-        return np.asarray(predict_s2(self.kernel, self._hyps, self._x, L,
-                                     self._as_batch(xs)))
+        return np.asarray(predict_s2(self.kernel, self._hyps, self._x,
+                                     self._factors(), self._as_batch(xs),
+                                     self.solver))
 
     def batch_predict_y_with_grad(self, xs):
         self._require_trained()
-        _, invKys = self._post
-        y, gy = predict_y_with_grad(self.kernel, self._hyps, self._x, invKys,
-                                    self._as_batch(xs))
+        y, gy = predict_y_with_grad(self.kernel, self._hyps, self._x,
+                                    self._post[-1], self._as_batch(xs))
         return np.asarray(y), np.asarray(gy)
 
     def batch_predict_s2_with_grad(self, xs):
         self._require_trained()
-        L, _ = self._post
-        s2, gs2 = predict_s2_with_grad(self.kernel, self._hyps, self._x, L,
-                                       self._as_batch(xs))
+        s2, gs2 = predict_s2_with_grad(self.kernel, self._hyps, self._x,
+                                       self._factors(), self._as_batch(xs),
+                                       self.solver)
         return np.asarray(s2), np.asarray(gs2)
 

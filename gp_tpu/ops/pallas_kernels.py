@@ -55,7 +55,7 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
     n1 = jnp.sum(a * a, axis=1, keepdims=True)      # (tm, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T    # (1, tn)
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
-    out_ref[:] = (sf2_ref[0] * jnp.exp(-0.5 * sq)).astype(out_ref.dtype)
+    out_ref[:] = (sf2_ref[0, 0] * jnp.exp(-0.5 * sq)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
@@ -71,7 +71,8 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, dp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -98,7 +99,7 @@ def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
     x2s = jnp.zeros((np_, dp), dtype).at[:n, :d].set(x2 * inv_l)
     if interpret is None:
         interpret = not _on_tpu()
-    K = _se_matrix_padded(x1s, x2s, jnp.asarray(sf2, dtype).reshape(1),
+    K = _se_matrix_padded(x1s, x2s, jnp.asarray(sf2, dtype).reshape(1, 1),
                           tm, tn, interpret)
     return K[:m, :n]
 

@@ -1,0 +1,70 @@
+"""Golden parity vs the reference-equivalent NumPy implementation.
+
+The C++ reference cannot be built here (missing Eigen/NLOPT, empty MVMO
+submodule), so benchmarks/ref_equiv.py — an independent NumPy
+implementation of the same NLL + analytic gradient (GP.cpp:120-176) — acts
+as the golden oracle on the bundled dataset.  These tests pin our JAX
+implementation to it at double precision.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks"))
+
+import ref_equiv  # noqa: E402
+
+from gp_tpu import GP, SE_ARD  # noqa: E402
+from gp_tpu.models import exact  # noqa: E402
+from gp_tpu.models.base import default_hyps  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def data500():
+    X, y = ref_equiv.load(500)
+    return X, y
+
+
+def test_nll_and_grad_parity(data500):
+    X, y = data500
+    hyp = ref_equiv.default_hyps(X, y)
+    nll_np, g_np = ref_equiv.nll_and_grad(hyp, X, y)
+
+    # hyp packing must match exactly (SURVEY.md section 2.1)
+    hyp_ours = default_hyps(SE_ARD, X, y, noise_lb=1e-3, noise_free=False)
+    np.testing.assert_allclose(hyp_ours, hyp, rtol=1e-12)
+
+    import jax.numpy as jnp
+    f, g = jax.value_and_grad(
+        lambda h: exact.nll_raw(SE_ARD, h, jnp.asarray(X), jnp.asarray(y))
+    )(jnp.asarray(hyp))
+    np.testing.assert_allclose(float(f), nll_np, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), g_np, rtol=1e-7, atol=1e-8)
+
+
+def test_trained_fit_parity(data500):
+    """Same objective + same budget + same start => same optimum basin.
+
+    L-BFGS-B(jax) vs scipy L-BFGS-B won't step identically, so compare the
+    achieved NLL, not the iterates.
+    """
+    X, y = data500
+    ours = GP(X, y)
+    nlz = ours.train()
+    from scipy.optimize import minimize
+    from gp_tpu.models.base import hyp_range
+    hyp0 = ref_equiv.default_hyps(X, y)
+    lb, ub = hyp_range(SE_ARD, X, y, 1e-3)
+    bounds = [(l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+              for l, u in zip(lb, ub)]
+    res = minimize(ref_equiv.nll_and_grad, np.clip(hyp0, lb, ub),
+                   args=(X, y), jac=True, method="L-BFGS-B", bounds=bounds,
+                   options={"maxfun": 160})
+    assert nlz <= res.fun * (1 + 1e-3) + 1e-6, (
+        f"our fit ({nlz}) is worse than scipy reference-equivalent "
+        f"({res.fun})")
