@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DBL_EPS, DEFAULT_SEED, INF, default_dtype
+from ..config import DBL_EPS, DEFAULT_SEED, INF, default_dtype, x64_enabled
 from ..ops.kernels import KernelSpec, get_kernel
 
 
@@ -57,6 +57,58 @@ def sanitize_value_and_grad(f, g):
     f = jnp.where(ok, f, INF)
     g = jnp.where(ok, g, jnp.zeros_like(g))
     return f, g
+
+
+# --------------------------------------------------------------------------
+# Internal y-standardization (float32/TPU conditioning)
+# --------------------------------------------------------------------------
+#
+# The MLE objective is optimized on y_std = (y - mu)/sigma rather than raw
+# y.  This is an EXACT reparameterization of the model (scale-family
+# property of the GP likelihood):
+#
+#   hyp_std = [log l (same), log sf - log sigma, log sn - log sigma,
+#              (mean - mu)/sigma]
+#   NLL_orig(hyp) = NLL_std(T(hyp)) + N log sigma
+#
+# Why: with raw y the NLL carries O(N log sigma_y^2) inside its logdet and
+# data-fit sums; in float32 that magnitude floor swallows the descent
+# signal (and FITC's Gamma cancellation gets amplified).  Standardized, the
+# per-element terms are O(1).  The public API is entirely in ORIGINAL
+# units — defaults, bounds, get_hyp, nll, prediction.
+
+
+def hyp_to_std(kernel: KernelSpec, nc: int, hyp, mu: float, sigma: float):
+    h = np.array(np.asarray(hyp), np.float64)
+    ls = np.log(sigma)
+    h[nc + kernel.out_scale_idx if kernel.out_scale_idx < 0
+      else kernel.out_scale_idx] -= ls
+    h[nc] -= ls                      # log sigma_n  (-inf stays -inf)
+    h[nc + 1] = (h[nc + 1] - mu) / sigma
+    return h
+
+
+def hyp_from_std(kernel: KernelSpec, nc: int, hyp, mu: float, sigma: float):
+    h = np.array(np.asarray(hyp), np.float64)
+    ls = np.log(sigma)
+    h[nc + kernel.out_scale_idx if kernel.out_scale_idx < 0
+      else kernel.out_scale_idx] += ls
+    h[nc] += ls
+    h[nc + 1] = h[nc + 1] * sigma + mu
+    return h
+
+
+def mixed_precision_fun(fun, compute_dtype):
+    """Wrap an (f, g) objective: optimizer state in float64, objective in
+    the model's compute dtype.  Keeps quasi-Newton curvature pairs exact
+    even when the objective is float32."""
+    f64 = jnp.float64
+
+    def wrapped(v):
+        f, g = fun(v.astype(compute_dtype))
+        return f.astype(f64), g.astype(f64)
+
+    return wrapped
 
 
 # --------------------------------------------------------------------------
@@ -127,6 +179,7 @@ class GPBase:
         self._dtype = jnp.dtype(dtype) if dtype is not None else default_dtype()
         self._x = jnp.asarray(x, self._dtype)
         self._y = jnp.asarray(y, self._dtype)
+        self._set_standardization(y)
         self._dim = x.shape[1]
         self._num_cov = self.kernel.num_hyp(self._dim)
         self._num_hyp = self._num_cov + 2
@@ -139,6 +192,25 @@ class GPBase:
         self._post = None            # model-specific posterior cache
         self._ms_fun = None          # cached multistart objective closure
         self._obj_fun = None         # cached (f,g) objective closure
+
+    def _set_standardization(self, y_np):
+        s = float(np.std(y_np, ddof=1)) if y_np.size > 1 else 0.0
+        self._y_mu = float(np.mean(y_np))
+        self._y_sigma = s if np.isfinite(s) and s > 0 else 1.0
+        self._ys = jnp.asarray((np.asarray(y_np, np.float64) - self._y_mu)
+                               / self._y_sigma, self._dtype)
+
+    def _hyp_to_std(self, hyp):
+        return hyp_to_std(self.kernel, self._num_cov, hyp, self._y_mu,
+                          self._y_sigma)
+
+    def _hyp_from_std(self, hyp):
+        return hyp_from_std(self.kernel, self._num_cov, hyp, self._y_mu,
+                            self._y_sigma)
+
+    def _std_bounds(self):
+        lb, ub = self.hyp_bounds()
+        return self._hyp_to_std(lb), self._hyp_to_std(ub)
 
     # -- accessors mirroring GP.h:84-101 ------------------------------------
     @property
@@ -213,6 +285,7 @@ class GPBase:
             raise ValueError("added x must be (num_added, dim)")
         self._x = jnp.concatenate([self._x, x], axis=0)
         self._y = jnp.concatenate([self._y, y], axis=0)
+        self._set_standardization(np.asarray(self._y, np.float64))
         self._trained = False
         self._invalidate_closures()
 
@@ -254,8 +327,8 @@ class GPBase:
         reference's sn2 > mean(sf2) rejection."""
         from ..optim.multistart import random_search
 
-        def_hyp = jnp.asarray(np.asarray(def_hyp), self._dtype)
-        lb, ub = self.hyp_bounds()
+        def_hyp = jnp.asarray(self._hyp_to_std(def_hyp), self._dtype)
+        lb, ub = self._std_bounds()
         lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
         ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
         x0_v = to_opt_vec(def_hyp, self._noise_free)
@@ -266,7 +339,7 @@ class GPBase:
             chunk=self._multistart_chunk(),
         )
         best = from_opt_vec(best_v, self._noise_free)
-        return np.asarray(best)
+        return self._hyp_from_std(np.asarray(best))
 
     def _multistart_chunk(self) -> int:
         # Bound peak memory: each candidate factors an (n x n) matrix.
@@ -295,18 +368,26 @@ class GPBase:
             self._trained = True
             return self.nll(self._hyps)
 
-        lb, ub = self.hyp_bounds()
-        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
-        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
-        vec0 = np.clip(np.asarray(to_opt_vec(self._hyps, self._noise_free)),
-                       lb_v, ub_v)
+        # optimize in the standardized space (float32-conditioning; the
+        # optimizer state stays in the model dtype — a float64-state /
+        # float32-objective mix lets the line search accept steps at the
+        # f32 noise floor, which poisons the curvature history)
+        hyps_std = self._hyp_to_std(hyps)
+        lb, ub = self._std_bounds()
+        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb), self._noise_free))
+        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub), self._noise_free))
+        vec0 = np.clip(
+            np.asarray(to_opt_vec(jnp.asarray(hyps_std), self._noise_free)),
+            lb_v, ub_v)
 
         res = self._run_local_opt(
             jnp.asarray(vec0, self._dtype),
             jnp.asarray(lb_v, self._dtype),
             jnp.asarray(ub_v, self._dtype),
         )
-        self._hyps = from_opt_vec(res.x, self._noise_free)
+        self._hyps = jnp.asarray(self._hyp_from_std(
+            np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
+            self._dtype)
 
         self._update_posterior()
         self._trained = True
@@ -339,17 +420,20 @@ class GPBase:
         if self._noise_free:
             hyps[-2] = -np.inf
 
-        lb, ub = self.hyp_bounds()
+        hyps_std = self._hyp_to_std(hyps)
+        lb, ub = self._std_bounds()
         lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), self._noise_free))
         ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), self._noise_free))
         vec0 = jnp.clip(
-            to_opt_vec(jnp.asarray(hyps, self._dtype), self._noise_free),
+            to_opt_vec(jnp.asarray(hyps_std, self._dtype), self._noise_free),
             lb_v, ub_v)
 
         fun = self._objective_closure()
         res = multistart_lbfgsb(fun, self._next_key(), lb_v, ub_v, vec0,
                                 n_starts=n_starts, max_evals=self._MAX_EVAL)
-        self._hyps = from_opt_vec(res.x, self._noise_free)
+        self._hyps = jnp.asarray(self._hyp_from_std(
+            np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
+            self._dtype)
         self._update_posterior()
         self._trained = True
         return self.nll(self._hyps)

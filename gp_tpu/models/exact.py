@@ -29,7 +29,7 @@ from ..ops.kernels import KernelSpec
 from ..ops.solvers import CHOL, SolverSpec
 from ..optim.lbfgsb import lbfgsb_impl
 from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
-                   sanitize_value_and_grad, to_opt_vec)
+                   mixed_precision_fun, sanitize_value_and_grad, to_opt_vec)
 
 
 # --------------------------------------------------------------------------
@@ -87,8 +87,13 @@ def multistart_objective(kernel: KernelSpec, noise_free: bool, vec, x, y,
          static_argnames=("kernel", "noise_free", "max_evals", "solver"))
 def fit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
         max_evals: int = 160, solver: SolverSpec = CHOL):
-    """The full bounded local MLE optimization as one jitted program."""
+    """The full bounded local MLE optimization as one jitted program.
+
+    When vec0 is float64 but the data is float32 (TPU), the optimizer
+    state runs float64 and the objective in the data dtype."""
     fun = lambda v: objective_vg(kernel, noise_free, v, x, y, solver)
+    if vec0.dtype != x.dtype:
+        fun = mixed_precision_fun(fun, x.dtype)
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 
@@ -222,7 +227,7 @@ class GP(GPBase):
         fun = self._ms_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, solver = self._x, self._y, self.solver
+            x, y, solver = self._x, self._ys, self.solver
             fun = lambda v: multistart_objective(kernel, noise_free, v, x, y,
                                                  solver)
             self._ms_fun = fun
@@ -232,13 +237,13 @@ class GP(GPBase):
         fun = self._obj_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, solver = self._x, self._y, self.solver
+            x, y, solver = self._x, self._ys, self.solver
             fun = lambda v: objective_vg(kernel, noise_free, v, x, y, solver)
             self._obj_fun = fun
         return fun
 
     def _run_local_opt(self, vec0, lb_v, ub_v):
-        return fit(self.kernel, self._noise_free, self._x, self._y,
+        return fit(self.kernel, self._noise_free, self._x, self._ys,
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
                    solver=self.solver)
 

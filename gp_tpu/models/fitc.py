@@ -26,7 +26,8 @@ from ..config import INF
 from ..ops.chol import chol_logdet, chol_ok, chol_solve, cholesky, solve_lower
 from ..ops.kernels import KernelSpec
 from ..optim.lbfgsb import lbfgsb_impl
-from .base import from_opt_vec, hyp_mean, hyp_sn2, sanitize_value_and_grad
+from .base import (from_opt_vec, hyp_mean, hyp_sn2, mixed_precision_fun,
+                   sanitize_value_and_grad)
 from .sparse import SparseGPBase
 
 
@@ -50,7 +51,10 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, u, jitter):
     Luu = cholesky(Kuu)
     V = solve_lower(Luu, Kxu.T)                     # (M, N): Luu^-1 Kux
     qdiag = jnp.sum(V * V, axis=0)                  # diag(Kxu Kuu^-1 Kux)
-    gamma = (sn2 + sf2 - qdiag) / sn2               # (N,)
+    # The Nystrom residual sf2 - qdiag is >= 0 mathematically; clamping
+    # suppresses float cancellation noise (it is 0 exactly when an inducing
+    # point coincides with a data point).
+    gamma = 1.0 + jnp.maximum(sf2 - qdiag, 0.0) / sn2
     inv_gamma = 1.0 / gamma
 
     A = sn2 * Kuu + (Kxu.T * inv_gamma) @ Kxu       # (M, M)
@@ -88,6 +92,8 @@ def multistart_objective(kernel, noise_free, vec, x, y, u, jitter):
 @partial(jax.jit, static_argnames=("kernel", "noise_free", "max_evals"))
 def fit(kernel, noise_free, x, y, u, jitter, vec0, lb, ub, max_evals=130):
     fun = lambda v: objective_vg(kernel, noise_free, v, x, y, u, jitter)
+    if vec0.dtype != x.dtype:
+        fun = mixed_precision_fun(fun, x.dtype)
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 
@@ -114,7 +120,7 @@ def set_k(kernel: KernelSpec, hyp, x, y, u, jitter0, max_tries: int = 64):
         Luu = cholesky(Kuu + jitter * eye)
         V = solve_lower(Luu, Kxu.T)
         qdiag = jnp.sum(V * V, axis=0)
-        inv_gamma = sn2 / (sn2 + sf2 - qdiag)
+        inv_gamma = 1.0 / (1.0 + jnp.maximum(sf2 - qdiag, 0.0) / sn2)
         # A from the raw Kuu (FITC.cpp:180), unlike the NLL's jittered one.
         A = sn2 * Kuu + (Kxu.T * inv_gamma) @ Kxu
         LA = cholesky(A + a_jitter * eye)
@@ -216,8 +222,8 @@ class FITC(SparseGPBase):
         fun = self._ms_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, u = self._x, self._y, self._u
-            jit_u = jnp.asarray(self._jitter_u, self._dtype)
+            x, y, u = self._x, self._ys, self._u
+            jit_u = jnp.asarray(self._jitter_std, self._dtype)
             fun = lambda v: multistart_objective(kernel, noise_free, v, x, y,
                                                  u, jit_u)
             self._ms_fun = fun
@@ -228,14 +234,14 @@ class FITC(SparseGPBase):
         fun = self._obj_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, u = self._x, self._y, self._u
-            jit_u = jnp.asarray(self._jitter_u, self._dtype)
+            x, y, u = self._x, self._ys, self._u
+            jit_u = jnp.asarray(self._jitter_std, self._dtype)
             fun = lambda v: objective_vg(kernel, noise_free, v, x, y, u, jit_u)
             self._obj_fun = fun
         return fun
     def _run_local_opt(self, vec0, lb_v, ub_v):
-        return fit(self.kernel, self._noise_free, self._x, self._y, self._u,
-                   jnp.asarray(self._jitter_u, self._dtype),
+        return fit(self.kernel, self._noise_free, self._x, self._ys, self._u,
+                   jnp.asarray(self._jitter_std, self._dtype),
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
 
     def _update_posterior(self):

@@ -20,8 +20,26 @@ from .base import GPBase
 
 
 class SparseGPBase(GPBase):
-    def __init__(self, train_x, train_y, kernel="se_ard", dtype=None, seed=0):
-        super().__init__(train_x, train_y, kernel=kernel, dtype=dtype, seed=seed)
+    """Sparse models default to float64 COMPUTE on every backend.
+
+    The FITC Gamma term divides the Nystrom residual sf2 - diag(Kxu Kuu^-1
+    Kux) by sn2: for inducing points at/near data points the residual is an
+    exact cancellation, and in float32 its rounding noise (~1e-5 relative)
+    swamps small noise variances — the objective and gradient turn to
+    garbage and the optimizer stalls (measured).  The sparse objectives are
+    only O(N M^2), so float64 — ~150 ms/eval at N=8000, M=512 even on TPU's
+    emulated f64 — is affordable; the exact GP keeps float32 + blocked-MXU
+    Cholesky where f64 would be ruinous.  Pass dtype="float32" explicitly
+    to override (safe when sn2/var(y) >> 1e-5).
+    """
+
+    def __init__(self, train_x, train_y, kernel="se_ard", dtype=None, seed=0,
+                 solver="chol"):
+        if dtype is None:
+            from ..config import x64_enabled
+            dtype = "float64" if x64_enabled() else None
+        super().__init__(train_x, train_y, kernel=kernel, dtype=dtype,
+                         seed=seed, solver=solver)
         self._u = self._x            # inducing default: full training set
         self._jitter_u = (0.1 * self._noise_lb) ** 2
 
@@ -42,6 +60,11 @@ class SparseGPBase(GPBase):
         self._trained = False
         self._invalidate_closures()
 
+    @property
+    def _jitter_std(self):
+        """Jitter in the standardized-y space: Kuu scales by 1/sigma^2."""
+        return self._jitter_u / (self._y_sigma ** 2)
+
     def _reset_jitter(self):
         """FITC::_init (FITC.cpp:27-31): jitter re-derived at train start."""
         self._jitter_u = (0.1 * self._noise_lb) ** 2
@@ -54,6 +77,52 @@ class SparseGPBase(GPBase):
         self._reset_jitter()
         self._invalidate_closures()  # cached closures capture the jitter
         return super().train(init_hyps)
+
+    def train_distributed(self, mesh, init_hyps=None) -> float:
+        """MLE fit with training rows sharded over `mesh` axis "rows"
+        (parallel/psparse.py): per-chip (n_loc, M) panels + psum reductions.
+        The posterior cache comes back replicated (M-sized), so every
+        predict API works unchanged afterwards."""
+        import warnings as _w
+
+        from ..parallel import psparse
+        from .base import hyp_range, to_opt_vec
+        from ..models.base import from_opt_vec
+
+        if self._noise_free:
+            _w.warn(f"{type(self).__name__} can't be noise free; "
+                    "disabling noise-free mode (reference behavior)")
+            self._noise_free = False
+        self._reset_jitter()
+        self._invalidate_closures()
+
+        if init_hyps is None:
+            init_hyps = self.get_default_hyps()
+        hyps = np.array(np.asarray(init_hyps), np.float64)
+
+        hyps_std = self._hyp_to_std(hyps)
+        lb, ub = self._std_bounds()
+        lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb, self._dtype), False))
+        ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub, self._dtype), False))
+        vec0 = jnp.clip(jnp.asarray(hyps_std, self._dtype), lb_v, ub_v)
+
+        model = type(self).__name__.lower()
+        res = psparse.pfit_sparse(
+            model, self.kernel, False, self._x, self._ys, self._u,
+            jnp.asarray(self._jitter_std, self._dtype), vec0, lb_v, ub_v,
+            mesh, max_evals=self._MAX_EVAL)
+        self._hyps = jnp.asarray(self._hyp_from_std(np.asarray(res.x)),
+                                 self._dtype)
+
+        Luu, LA, alpha, jitter, ok = psparse.pset_k_sparse(
+            model, self.kernel, self._hyps, self._x, self._y, self._u,
+            jnp.asarray(self._jitter_u, self._dtype), mesh)
+        self._jitter_u = float(jitter)
+        self._post = (Luu, LA, alpha)
+        self._trained = True
+        return float(psparse.pnll_sparse(
+            model, self.kernel, self._hyps, self._x, self._y, self._u,
+            jnp.asarray(self._jitter_u, self._dtype), mesh))
 
     def train_multistart(self, n_starts: int = 8, init_hyps=None) -> float:
         if self._noise_free:

@@ -31,7 +31,8 @@ from ..config import INF
 from ..ops.chol import chol_logdet, chol_ok, chol_solve, cholesky, solve_lower
 from ..ops.kernels import KernelSpec
 from ..optim.lbfgsb import lbfgsb_impl
-from .base import from_opt_vec, hyp_mean, hyp_sn2, sanitize_value_and_grad
+from .base import (from_opt_vec, hyp_mean, hyp_sn2, mixed_precision_fun,
+                   sanitize_value_and_grad)
 from .sparse import SparseGPBase
 
 
@@ -62,8 +63,9 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, u, jitter):
                         + (n - m) * jnp.log(sn2))
     data_fit = 0.5 * jnp.dot(r, alpha)
     V = solve_lower(Luu, Kxu.T)          # tr(Kuu^-1 Kuxxu) = |V|_F^2
-    trace_term = 0.5 * (jnp.sum(kernel.diag_k(chyp, x))
-                        - jnp.sum(V * V)) / sn2
+    # clamp: the trace of the Nystrom residual is >= 0 mathematically
+    trace_term = 0.5 * jnp.maximum(
+        jnp.sum(kernel.diag_k(chyp, x)) - jnp.sum(V * V), 0.0) / sn2
     return f0 + complexity + data_fit + trace_term
 
 
@@ -92,6 +94,8 @@ def multistart_objective(kernel, noise_free, vec, x, y, u, jitter):
 @partial(jax.jit, static_argnames=("kernel", "noise_free", "max_evals"))
 def fit(kernel, noise_free, x, y, u, jitter, vec0, lb, ub, max_evals=150):
     fun = lambda v: objective_vg(kernel, noise_free, v, x, y, u, jitter)
+    if vec0.dtype != x.dtype:
+        fun = mixed_precision_fun(fun, x.dtype)
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 
@@ -210,8 +214,8 @@ class VFE(SparseGPBase):
         fun = self._ms_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, u = self._x, self._y, self._u
-            jit_u = jnp.asarray(self._jitter_u, self._dtype)
+            x, y, u = self._x, self._ys, self._u
+            jit_u = jnp.asarray(self._jitter_std, self._dtype)
             fun = lambda v: multistart_objective(kernel, noise_free, v, x, y,
                                                  u, jit_u)
             self._ms_fun = fun
@@ -222,14 +226,14 @@ class VFE(SparseGPBase):
         fun = self._obj_fun
         if fun is None:
             kernel, noise_free = self.kernel, self._noise_free
-            x, y, u = self._x, self._y, self._u
-            jit_u = jnp.asarray(self._jitter_u, self._dtype)
+            x, y, u = self._x, self._ys, self._u
+            jit_u = jnp.asarray(self._jitter_std, self._dtype)
             fun = lambda v: objective_vg(kernel, noise_free, v, x, y, u, jit_u)
             self._obj_fun = fun
         return fun
     def _run_local_opt(self, vec0, lb_v, ub_v):
-        return fit(self.kernel, self._noise_free, self._x, self._y, self._u,
-                   jnp.asarray(self._jitter_u, self._dtype),
+        return fit(self.kernel, self._noise_free, self._x, self._ys, self._u,
+                   jnp.asarray(self._jitter_std, self._dtype),
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
 
     def _update_posterior(self):

@@ -34,6 +34,10 @@ class KernelSpec(NamedTuple):
     diag_k: Callable                         # (chyp, x) -> (n,)
     default_hyp: Callable                    # (x, y) -> np (num_hyp,)
     hyp_range: Callable                      # (x, y) -> (np lb, np ub)
+    # index (into chyp) of the log-output-scale hyp (log sigma_f for the SE
+    # family).  Used by the internal y-standardization reparameterization:
+    # scaling y by 1/s shifts this hyp and log sigma_n by -log s.
+    out_scale_idx: int = -1
 
 
 # --------------------------------------------------------------------------

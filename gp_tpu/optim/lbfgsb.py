@@ -182,3 +182,22 @@ def lbfgsb_impl(
 lbfgsb = partial(jax.jit, static_argnames=(
     "fun", "max_evals", "tol", "history", "max_backtracks", "armijo_c1",
 ))(lbfgsb_impl)
+
+
+def explain_result(res: LBFGSBResult, max_evals: int = 160) -> str:
+    """Human-readable optimizer status, the analog of the reference's
+    explain_nlopt (util.cpp:87-109, printed by FITC.cpp:102/VFE.cpp:102)."""
+    import numpy as np
+
+    f = float(res.f)
+    evals = int(res.evals)
+    if not np.isfinite(f):
+        return f"FAILURE: objective non-finite after {evals} evaluations"
+    if bool(res.converged) and evals < max_evals:
+        return (f"SUCCESS: converged (projected-gradient tolerance) after "
+                f"{evals} evaluations, f = {f:.9g}")
+    if evals >= max_evals:
+        return (f"MAXEVAL_REACHED: stopped at the {max_evals}-evaluation "
+                f"budget, f = {f:.9g}")
+    return (f"STOPPED: no acceptable step (xtol/roundoff) after "
+            f"{evals} evaluations, f = {f:.9g}")

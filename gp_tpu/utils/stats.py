@@ -152,3 +152,30 @@ def rand_matrix(key, num_col, lb, ub, dtype=None):
     a = 0.5 * (ub - lb)
     b = 0.5 * (ub + lb)
     return a[:, None] * u + b[:, None]
+
+
+# --------------------------------------------------------------------------
+# Generic helpers mirroring util.h:11-56 (the reference's map-based config
+# helpers and top-k selection; vestigial there, provided for API parity)
+# --------------------------------------------------------------------------
+
+def top_largest(v, k: int):
+    """Indices of the k largest entries (util.h:43-56 `top_largest`)."""
+    import numpy as np
+    v = np.asarray(v).ravel()
+    k = min(int(k), v.size)
+    idx = np.argpartition(-v, k - 1)[:k]
+    return idx[np.argsort(-v[idx])]
+
+
+def with_default(mapping, key, default):
+    """util.h:11-20: option lookup with fallback."""
+    return mapping.get(key, default)
+
+
+def get_required(mapping, key):
+    """util.h:22-30: option lookup that raises when absent."""
+    try:
+        return mapping[key]
+    except KeyError:
+        raise KeyError(f"required option {key!r} not set") from None

@@ -1,0 +1,102 @@
+"""Distributed FITC/VFE (parallel/psparse.py) vs the single-device models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_tpu import SE_ARD
+from gp_tpu.models import fitc, vfe
+from gp_tpu.models.base import default_hyps, hyp_range
+from gp_tpu.parallel.mesh import make_mesh
+from gp_tpu.parallel import psparse
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(NDEV, axis_name="rows")
+
+
+@pytest.fixture(scope="module")
+def prob():
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-2, 2, (83, 3))            # 83: not a multiple of 8
+    y = np.sin(X[:, 0]) + 0.3 * X[:, 1] + 0.05 * rng.standard_normal(83)
+    U = X[:24]
+    return jnp.asarray(X), jnp.asarray(y), jnp.asarray(U)
+
+
+MODELS = {"fitc": fitc, "vfe": vfe}
+JITTER = (0.1 * 1e-3) ** 2
+
+
+@pytest.mark.parametrize("model", ["fitc", "vfe"])
+def test_pnll_matches_single_device(mesh, prob, model):
+    x, y, u = prob
+    mod = MODELS[model]
+    hyp = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+    ref = float(mod.nll_raw(SE_ARD, hyp, x, y, u, JITTER))
+    got = float(psparse.pnll_sparse(model, SE_ARD, hyp, x, y, u, JITTER,
+                                    mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+
+@pytest.mark.parametrize("model", ["fitc", "vfe"])
+def test_pnll_grad_matches(mesh, prob, model):
+    x, y, u = prob
+    mod = MODELS[model]
+    hyp = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+    g_ref = jax.grad(
+        lambda h: mod.nll_raw(SE_ARD, h, x, y, u, JITTER))(hyp)
+    g = jax.grad(
+        lambda h: psparse.pnll_sparse(model, SE_ARD, h, x, y, u, JITTER,
+                                      mesh))(hyp)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=2e-8)
+
+
+@pytest.mark.parametrize("model", ["fitc", "vfe"])
+def test_pfit_matches_single_device(mesh, prob, model):
+    x, y, u = prob
+    mod = MODELS[model]
+    hyp0 = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+    lb, ub = hyp_range(SE_ARD, x, y, 1e-3)
+    lb, ub = jnp.asarray(lb), jnp.asarray(ub)
+    vec0 = jnp.clip(hyp0, lb, ub)
+
+    res_ref = mod.fit(SE_ARD, False, x, y, u, JITTER, vec0, lb, ub,
+                      max_evals=50)
+    res = psparse.pfit_sparse(model, SE_ARD, False, x, y, u, JITTER, vec0,
+                              lb, ub, mesh, max_evals=50)
+    # Quasi-Newton trajectories diverge chaotically under reduction-order
+    # noise, so optima may differ in basin; require (a) the distributed fit
+    # reaches a comparable objective and (b) its reported optimum value is
+    # consistent with the single-device objective at the same point.
+    assert np.isfinite(float(res.f))
+    check = float(mod.nll(SE_ARD, np.asarray(res.x), x, y, u, JITTER))
+    np.testing.assert_allclose(float(res.f), check, rtol=1e-6, atol=1e-6)
+    span = abs(float(res_ref.f)) + 1.0
+    assert float(res.f) <= float(res_ref.f) + 0.2 * span
+
+
+@pytest.mark.parametrize("model", ["fitc", "vfe"])
+def test_pset_k_and_predict(mesh, prob, model):
+    x, y, u = prob
+    mod = MODELS[model]
+    hyp = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
+
+    ref = mod.set_k(SE_ARD, hyp, x, y, u, JITTER)
+    Luu_r, LA_r, alpha_r = ref[0], ref[1], ref[2]
+    Luu, LA, alpha, _, ok = psparse.pset_k_sparse(model, SE_ARD, hyp, x, y,
+                                                  u, JITTER, mesh)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_r),
+                               rtol=1e-8, atol=1e-10)
+
+    xs = jnp.asarray(np.random.default_rng(5).uniform(-2, 2, (9, 3)))
+    mu_r, s2_r = mod.predict(SE_ARD, hyp, u, Luu_r, LA_r, alpha_r, xs)
+    mu, s2 = mod.predict(SE_ARD, hyp, u, Luu, LA, alpha, xs)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_r), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_r), rtol=1e-7)
