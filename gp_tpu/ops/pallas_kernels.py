@@ -51,7 +51,10 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
     b = x2_ref[:]                                   # (tn, dp)
     cross = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (tm, tn) on the MXU
+        preferred_element_type=jnp.float32,
+        # explicit: Mosaic rejects the library-wide "high" (3-pass bf16)
+        # default; full-f32 products are wanted here anyway
+        precision=jax.lax.Precision.HIGHEST)        # (tm, tn) on the MXU
     n1 = jnp.sum(a * a, axis=1, keepdims=True)      # (tm, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T    # (1, tn)
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
@@ -62,22 +65,27 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
 def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
     m, dp = x1s.shape
     n = x2s.shape[0]
-    return pl.pallas_call(
-        _se_tile_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), x1s.dtype),
-        grid=(m // tm, n // tn),
-        in_specs=[
-            pl.BlockSpec((tm, dp), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, dp), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x1s, x2s, sf2)
+    # enable_x64(False): the library enables global x64 (CPU parity), which
+    # promotes index-map constants to i64 — Mosaic cannot legalize i64
+    # scalars ("failed to legalize func.return (i32, i64)").  All kernel
+    # index arithmetic is well within i32.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _se_tile_kernel,
+            out_shape=jax.ShapeDtypeStruct((m, n), x1s.dtype),
+            grid=(m // tm, n // tn),
+            in_specs=[
+                pl.BlockSpec((tm, dp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, dp), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x1s, x2s, sf2)
 
 
 def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
