@@ -68,8 +68,12 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
     # enable_x64(False): the library enables global x64 (CPU parity), which
     # promotes index-map constants to i64 — Mosaic cannot legalize i64
     # scalars ("failed to legalize func.return (i32, i64)").  All kernel
-    # index arithmetic is well within i32.
-    with jax.enable_x64(False):
+    # index arithmetic is well within i32.  The interpreter path (CPU
+    # tests, possibly float64 data) must keep x64 semantics.
+    import contextlib
+    ctx = (contextlib.nullcontext() if interpret
+           else jax.enable_x64(False))
+    with ctx:
         return pl.pallas_call(
             _se_tile_kernel,
             out_shape=jax.ShapeDtypeStruct((m, n), x1s.dtype),
