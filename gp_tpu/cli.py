@@ -92,6 +92,10 @@ def main(argv=None) -> int:
         nlz = model.train(init)
     t2 = time.perf_counter()
     print(f"Training time: {t2 - t1:.0f} seconds")
+    res = getattr(model, "last_opt_result", None)
+    if res is not None:               # explain_nlopt analog (util.cpp:87-109)
+        from .optim.lbfgsb import explain_result
+        print(explain_result(res, max_evals=model._MAX_EVAL))
     print(f"Negative log likelihood: {nlz:.9g}")
     print("Optimized hyperparameters:")
     for v in model.get_hyp():

@@ -385,6 +385,10 @@ class GPBase:
             jnp.asarray(lb_v, self._dtype),
             jnp.asarray(ub_v, self._dtype),
         )
+        # diagnostics (explain_result): report f in ORIGINAL units
+        # (NLL_orig = NLL_std + N log sigma)
+        self.last_opt_result = res._replace(
+            f=res.f + self.num_train * float(np.log(self._y_sigma)))
         self._hyps = jnp.asarray(self._hyp_from_std(
             np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
             self._dtype)
@@ -437,6 +441,34 @@ class GPBase:
         self._update_posterior()
         self._trained = True
         return self.nll(self._hyps)
+
+    def check_gradients(self, hyp=None, eps: float = 1e-3):
+        """Analytic-vs-finite-difference NLL gradient check
+        (GP::_likelihood_gradient_checking, GP.cpp:486-507; run under
+        MYDEBUG at train start in the reference).  Returns
+        (analytic, numeric, rel_err) as numpy arrays / float."""
+        import jax
+
+        if hyp is None:
+            hyp = self._hyps if self._hyps is not None else \
+                self.get_default_hyps()
+        hyp = np.asarray(hyp, np.float64)
+
+        fun = self._objective_closure()
+        v = jnp.asarray(self._hyp_to_std(hyp), self._dtype)
+        _, g = fun(v)
+        g = np.asarray(g, np.float64)
+
+        fd = np.zeros_like(g)
+        for i in range(g.shape[0]):
+            e = np.zeros_like(g)
+            e[i] = eps
+            fp, _ = fun(jnp.asarray(v + e, self._dtype))
+            fm, _ = fun(jnp.asarray(v - e, self._dtype))
+            fd[i] = (float(fp) - float(fm)) / (2 * eps)
+        denom = np.linalg.norm(fd) + 1e-300
+        rel = float(np.linalg.norm(g - fd) / denom)
+        return g, fd, rel
 
     # -- checkpoint / resume (new capability; reference persists nothing) ----
     def save(self, path: str) -> None:

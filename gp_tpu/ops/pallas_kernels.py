@@ -107,6 +107,7 @@ def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
     tn = min(tile, _round_up(n, 128))
     mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
 
+    inv_l = jnp.asarray(inv_l, dtype)
     x1s = jnp.zeros((mp, dp), dtype).at[:m, :d].set(x1 * inv_l)
     x2s = jnp.zeros((np_, dp), dtype).at[:n, :d].set(x2 * inv_l)
     if interpret is None:

@@ -284,3 +284,59 @@ def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
     quad = _pquad_program(kernel, chyp, L, x_pad, xs, n, n_dev, block, mesh)
     s2 = jnp.maximum(kernel.diag_k(chyp, xs) - quad, 0.0) + hyp_sn2(hyp)
     return mu, s2
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "noise_free", "n_real", "n_dev_rows",
+                          "n_starts", "block", "max_evals", "mesh"))
+def _pfit_multistart_program(kernel, noise_free, vec0s, lb, ub, x_pad, y_pad,
+                             n_real, n_dev_rows, n_starts, block, max_evals,
+                             mesh):
+    def body(vecs, lb, ub, x, y):
+        # vecs: (1, nh) — this device's start along the "starts" axis
+        def fun(v):
+            hyp = from_opt_vec(v, noise_free)
+            f, g = pnll_vg_local(kernel, hyp, x, y, n_real, n_dev_rows,
+                                 block)
+            gv = jnp.concatenate([g[:-2], g[-1:]]) if noise_free else g
+            return sanitize_value_and_grad(f, gv)
+
+        res = lbfgsb_impl(fun, vecs[0], lb, ub, max_evals=max_evals)
+        f = jnp.where(jnp.isfinite(res.f), res.f, INF)
+        # best across the restart population
+        fs = jax.lax.all_gather(f, "starts")                 # (S,)
+        xs = jax.lax.all_gather(res.x, "starts")             # (S, nh)
+        best = jnp.argmin(fs)
+        return xs[best], fs[best]
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("starts", None), P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False)(vec0s, lb, ub, x_pad, y_pad)
+
+
+def pfit_multistart(kernel: KernelSpec, noise_free: bool, x, y, vec0s, lb,
+                    ub, mesh: Mesh, block: int = 256, max_evals: int = 160):
+    """Two-axis distributed multi-start MLE over a ("starts", "rows") mesh.
+
+    The restart population shards over "starts" (each submesh runs its own
+    full L-BFGS-B); within each restart the N x N kernel matrix is
+    block-cyclic over "rows" with the distributed Cholesky + analytic psum
+    gradient.  This composes the reference's MVMO-restart axis with the
+    O(N^3) factorization axis — the GP analog of dp x tp sharding.
+
+    vec0s: (n_starts, num_opt_vars) start points, n_starts == mesh "starts"
+    size.  Returns (best_vec, best_f) replicated.
+    """
+    n_rows = mesh.shape[AXIS]
+    n_starts = mesh.shape["starts"]
+    vec0s = jnp.asarray(vec0s)
+    assert vec0s.shape[0] == n_starts, (
+        f"need one start per 'starts' submesh ({n_starts}), got "
+        f"{vec0s.shape[0]}")
+    x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_rows, block)
+    dt = x_pad.dtype
+    return _pfit_multistart_program(
+        kernel, noise_free, jnp.asarray(vec0s, dt), jnp.asarray(lb, dt),
+        jnp.asarray(ub, dt), x_pad, y_pad, n, n_rows, n_starts, block,
+        max_evals, mesh)
