@@ -1,0 +1,109 @@
+"""Pallas base-case Cholesky: one BxB block factored in a single kernel.
+
+The blocked Cholesky (ops/blocked.py) turns the trailing O(N^3) work into
+big MXU matmuls; what remains serial is the BxB diagonal-block
+factorization.  XLA's stock kernel costs ~0.7 ms per call on v5e at any
+B <= 2048 (dispatch/loop-bound, not flops).  This kernel factors the block
+in VMEM with a right-looking rank-1 loop (column extraction via masked
+reductions, the update an MXU outer product).
+
+Measured on v5e: 0.84 ms at B=256, 2.3 ms at B=512 — the masked column
+extraction is O(b^2) VPU work per column, so the kernel does NOT beat the
+stock path yet; it is kept as a correct, tested building block (a rank-8
+micro-panel variant with pl.ds ref indexing is the known next step).  The
+default blocked Cholesky therefore keeps the stock base case.
+
+Backward: custom VJP with the standard Cholesky pullback
+(Murray 2016, "Differentiation of the Cholesky decomposition"):
+
+    Kbar = 0.5 * L^{-T} (P + P^T) L^{-1},   P = Phi(L^T Lbar)
+
+with Phi = lower triangle, diagonal halved — built from two small
+triangular solves (numerically verified against jax.vjp of the stock
+kernel in tests/test_pallas_chol.py).
+
+Non-SPD input: rsqrt of a negative pivot produces NaN which propagates to
+every later column — identical failure semantics to the stock kernel
+(chol_ok sees a NaN diagonal).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.linalg import solve_triangular
+
+
+def _chol_kernel(k_ref, o_ref, *, b: int):
+    # Mosaic has no dynamic_slice on values: all row/column extraction is
+    # mask + reduction over iota (O(b^2) per column, O(b^3) total — VPU
+    # work, microseconds at b <= 1024).
+    # Mosaic restrictions shape this kernel: no dynamic_slice on values
+    # (mask + reduce over iota instead) and no (1, b) row vectors (the
+    # rank-1 update is an MXU outer product of two (b, 1) columns).
+    A = k_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)     # (b, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)     # (b, b)
+
+    def body(j, carry):
+        A, O = carry
+        colv = jnp.sum(jnp.where(cols == j, A, 0.0), axis=1,
+                       keepdims=True)                          # (b, 1)
+        d = jnp.sum(jnp.where(rows == j, colv, 0.0))    # (b,1) -> scalar
+        inv = jax.lax.rsqrt(d)
+        l = jnp.where(rows > j, colv * inv,
+                      jnp.where(rows == j, d * inv, 0.0))      # sqrt(d)=d*inv
+        outer = jax.lax.dot_general(
+            l, l, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=l.dtype,
+            precision=jax.lax.Precision.HIGHEST)               # (b, b)
+        A = A - outer            # rank-1 trailing update (cols <= j: dead)
+        O = jnp.where(cols == j, l, O)
+        return A, O
+
+    _, O = jax.lax.fori_loop(0, b, body, (A, jnp.zeros_like(A)))
+    o_ref[:] = O
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_call(K, interpret: bool):
+    b = K.shape[0]
+    import contextlib
+    ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+    with ctx:
+        return pl.pallas_call(
+            functools.partial(_chol_kernel, b=b),
+            out_shape=jax.ShapeDtypeStruct((b, b), K.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(K)
+
+
+@jax.custom_vjp
+def pallas_cholesky(K):
+    """Lower Cholesky factor of a single VMEM-resident block (<= ~1024)."""
+    interpret = jax.default_backend() != "tpu"
+    return _chol_call(K, interpret)
+
+
+def _chol_fwd(K):
+    L = pallas_cholesky(K)
+    return L, L
+
+
+def _chol_bwd(L, Lbar):
+    P = jnp.tril(L.T @ Lbar)
+    P = P - 0.5 * jnp.diag(jnp.diagonal(P))
+    S = P + P.T
+    # Kbar = 0.5 L^{-T} S L^{-1}
+    T1 = solve_triangular(L, S, lower=True, trans=1)          # L^{-T} S
+    Kbar = 0.5 * solve_triangular(L, T1.T, lower=True, trans=1).T
+    return (Kbar,)
+
+
+pallas_cholesky.defvjp(_chol_fwd, _chol_bwd)
