@@ -11,6 +11,7 @@ from . import config  # noqa: F401  (must import first: enables x64)
 from .config import INF, default_dtype, x64_enabled  # noqa: F401
 from .ops.kernels import KERNELS, SE_ARD, SE_ISO, get_kernel  # noqa: F401
 from .models.exact import GP  # noqa: F401
+from .models.bucketed import BucketedGP  # noqa: F401
 
 try:  # sparse models land after the exact slice; keep import robust mid-build
     from .models.fitc import FITC  # noqa: F401

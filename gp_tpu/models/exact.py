@@ -289,3 +289,108 @@ class GP(GPBase):
                                        self.solver)
         return np.asarray(s2), np.asarray(gs2)
 
+
+
+# --------------------------------------------------------------------------
+# Masked-capacity variants (bucketed add_data: BO loops without recompiles)
+# --------------------------------------------------------------------------
+#
+# The reference's add_data (GP.cpp:43-55) appends columns and refits — cheap
+# there because nothing is compiled.  Under jit, growing N recompiles every
+# stage, which would make a one-point-per-iteration Bayesian-optimization
+# loop pay seconds of compile per step.  These variants take the number of
+# REAL points as a TRACED scalar over a fixed-capacity padded buffer:
+# padded rows/cols are masked to the identity (K_pad = blockdiag(K, I),
+# r_pad = 0 — same scheme as parallel/pgp.py), so adding a point re-runs
+# the SAME compiled program.
+
+def _masked_k(kernel: KernelSpec, chyp, x_pad, n_real):
+    """K0 over the padded buffer with identity pad rows/cols."""
+    K0 = kernel.k(chyp, x_pad, x_pad)
+    ids = jnp.arange(x_pad.shape[0])
+    pad = (ids[:, None] >= n_real) | (ids[None, :] >= n_real)
+    eye = (ids[:, None] == ids[None, :]).astype(K0.dtype)
+    return jnp.where(pad, eye, K0)
+
+
+def nll_raw_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_real,
+                   solver: SolverSpec = CHOL):
+    """NLL over the first n_real rows of a fixed-capacity buffer."""
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    ids = jnp.arange(x_pad.shape[0])
+    real = ids < n_real
+    K = _masked_k(kernel, chyp, x_pad, n_real) + jnp.where(
+        real, sn2, 0.0) * jnp.eye(x_pad.shape[0], dtype=x_pad.dtype)
+    f = solver.factor(K)
+    r = jnp.where(real, y_pad - hyp_mean(hyp), 0.0)
+    alpha = solver.solve(f, r)
+    return (0.5 * jnp.dot(r, alpha) + 0.5 * solver.logdet(f)
+            + 0.5 * n_real * jnp.log(2 * jnp.pi))
+
+
+def objective_vg_masked(kernel, noise_free, vec, x_pad, y_pad, n_real,
+                        solver: SolverSpec = CHOL):
+    f, g = jax.value_and_grad(
+        lambda v: nll_raw_masked(kernel, from_opt_vec(v, noise_free), x_pad,
+                                 y_pad, n_real, solver))(vec)
+    return sanitize_value_and_grad(f, g)
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "noise_free", "max_evals", "solver"))
+def fit_masked(kernel, noise_free, x_pad, y_pad, n_real, vec0, lb, ub,
+               max_evals: int = 160, solver: SolverSpec = CHOL):
+    fun = lambda v: objective_vg_masked(kernel, noise_free, v, x_pad, y_pad,
+                                        n_real, solver)
+    if vec0.dtype != x_pad.dtype:
+        fun = mixed_precision_fun(fun, x_pad.dtype)
+    return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
+
+
+@partial(jax.jit, static_argnames=("kernel", "solver", "max_tries"))
+def set_k_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_real,
+                 solver: SolverSpec = CHOL, max_tries: int = 64):
+    """Posterior cache over the padded buffer (noise-inflation rescue)."""
+    nc = kernel.num_hyp(x_pad.shape[1])
+    Kcov = _masked_k(kernel, hyp[:nc], x_pad, n_real)
+    ids = jnp.arange(x_pad.shape[0])
+    real = ids < n_real
+    diag = jnp.where(real, 1.0, 0.0) * jnp.eye(x_pad.shape[0],
+                                               dtype=x_pad.dtype)
+    eps = jnp.asarray(jnp.finfo(x_pad.dtype).eps, x_pad.dtype)
+    log_sn0 = jnp.asarray(hyp[-2], x_pad.dtype)
+
+    def factor(ls):
+        return solver.factor(Kcov + jnp.exp(2.0 * ls) * diag)
+
+    def cond(state):
+        f, ls, tries = state
+        return jnp.logical_and(~solver.ok(f), tries < max_tries)
+
+    def body(state):
+        f, ls, tries = state
+        ls = jnp.where(jnp.isinf(ls), jnp.log(eps), ls + 0.5 * jnp.log(10.0))
+        return factor(ls), ls, tries + 1
+
+    f, log_sn, _ = jax.lax.while_loop(
+        cond, body, (factor(log_sn0), log_sn0, jnp.zeros((), jnp.int32)))
+    hyp = hyp.at[-2].set(log_sn)
+    r = jnp.where(real, y_pad - hyp_mean(hyp), 0.0)
+    return hyp, f, solver.solve(f, r)
+
+
+@partial(jax.jit, static_argnames=("kernel", "solver"))
+def predict_masked(kernel: KernelSpec, hyp, x_pad, f, invKys, n_real, xs,
+                   solver: SolverSpec = CHOL):
+    """Batched posterior over the padded buffer (pad columns contribute 0)."""
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    real = (jnp.arange(x_pad.shape[0]) < n_real)[None, :]
+    kt = jnp.where(real, kernel.k(chyp, xs, x_pad), 0.0)     # (T, cap)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kks = solver.solve(f, kt.T)
+    sf2 = kernel.diag_k(chyp, xs)
+    s2 = jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
+    return mu, s2
