@@ -46,6 +46,12 @@ def _load():
             ]
             lib.gp_free.restype = None
             lib.gp_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+            lib.gp_write_matrix.restype = ctypes.c_int
+            lib.gp_write_matrix.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -68,3 +74,17 @@ def read_matrix(path: str):
         return arr.reshape(rows.value, cols.value)
     finally:
         lib.gp_free(ptr)
+
+
+def write_matrix(path: str, m, digits: int = 17) -> bool:
+    """Write a text matrix natively. Returns False if unavailable/failed."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gp_write_matrix"):
+        return False
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    if m.ndim == 1:
+        m = m[:, None]
+    ptr = m.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.gp_write_matrix(path.encode(), ptr, m.shape[0], m.shape[1],
+                             digits)
+    return rc == 0

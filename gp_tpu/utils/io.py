@@ -32,7 +32,13 @@ def read_matrix(path: str) -> np.ndarray:
 
 
 def write_matrix(path: str, m: np.ndarray, fmt: str = "%.18g") -> None:
-    np.savetxt(path, np.asarray(m), fmt=fmt)
+    m = np.asarray(m)
+    # native fast path (single-syscall buffered writer); numpy fallback
+    if fmt.startswith("%.") and fmt.endswith("g"):
+        digits = min(int(fmt[2:-1]), 17)
+        if fastio.write_matrix(path, m, digits):
+            return
+    np.savetxt(path, m, fmt=fmt)
 
 
 def write_pred(path: str, mean: np.ndarray, stddev: np.ndarray) -> None:

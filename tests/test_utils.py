@@ -106,3 +106,19 @@ def test_write_pred_roundtrip(tmp_path):
     rec = io.read_matrix(str(p))
     np.testing.assert_allclose(rec[:, 0], mean)
     np.testing.assert_allclose(rec[:, 1], sd)
+
+
+def test_native_write_matrix_roundtrip(tmp_path):
+    """Native buffered writer (fastio.gp_write_matrix) round-trips exactly."""
+    from gp_tpu.utils.io import read_matrix, write_matrix
+
+    rng = np.random.default_rng(42)
+    m = rng.standard_normal((137, 5)) * 10.0 ** rng.integers(-8, 8, (137, 5))
+    p = str(tmp_path / "m.txt")
+    write_matrix(p, m)
+    back = read_matrix(p)
+    np.testing.assert_allclose(back, m, rtol=1e-15)
+
+    # vector input becomes a column
+    write_matrix(p, np.arange(4.0))
+    assert read_matrix(p).shape == (4, 1)
