@@ -10,6 +10,7 @@ sparse approximations, and predictions with gradients w.r.t. test inputs.
 from . import config  # noqa: F401  (must import first: enables x64)
 from .config import INF, default_dtype, x64_enabled  # noqa: F401
 from .ops.kernels import KERNELS, SE_ARD, SE_ISO, get_kernel  # noqa: F401
+from .ops.kernels_extra import (MATERN32, MATERN52, RQ)  # noqa: F401
 from .models.exact import GP  # noqa: F401
 from .models.bucketed import BucketedGP  # noqa: F401
 

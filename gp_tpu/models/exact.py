@@ -252,26 +252,86 @@ class GP(GPBase):
                                self.solver)
         self._hyps = hyp
         self._post = (*f, invKys)
+        self._post_dist = None       # single-device posterior supersedes
 
     def _factors(self):
         return tuple(self._post[:-1])
+
+    # -- distributed training / serving (parallel/pgp.py) -------------------
+    def train_distributed(self, mesh, block: int = 256,
+                          init_hyps=None) -> float:
+        """MLE fit with the N x N kernel matrix block-cyclic over mesh
+        axis "rows": distributed blocked Cholesky + analytic psum gradient
+        (parallel/pgp.py), optimized in the standardized space like
+        train().  The posterior cache stays SHARDED (each chip holds its
+        row blocks of L), and the predict APIs serve from it."""
+        from ..parallel import pgp
+        from .base import to_opt_vec
+
+        if init_hyps is None:
+            init_hyps = self.get_default_hyps()
+        hyps = np.array(np.asarray(init_hyps), np.float64)
+        if self._noise_free:
+            hyps[-2] = -np.inf
+
+        hyps_std = self._hyp_to_std(hyps)
+        lb, ub = self._std_bounds()
+        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb), self._noise_free))
+        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub), self._noise_free))
+        vec0 = np.clip(
+            np.asarray(to_opt_vec(jnp.asarray(hyps_std), self._noise_free)),
+            lb_v, ub_v)
+
+        res = pgp.pfit(self.kernel, self._noise_free, self._x, self._ys,
+                       jnp.asarray(vec0, self._dtype),
+                       jnp.asarray(lb_v, self._dtype),
+                       jnp.asarray(ub_v, self._dtype),
+                       mesh, block=block, max_evals=self._MAX_EVAL)
+        self.last_opt_result = res._replace(
+            f=res.f + self.num_train * float(np.log(self._y_sigma)))
+        self._hyps = jnp.asarray(self._hyp_from_std(
+            np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
+            self._dtype)
+
+        hyp, L, invKys = pgp.pset_k(self.kernel, self._hyps, self._x,
+                                    self._y, mesh, block=block)
+        self._hyps = hyp
+        self._post = None
+        self._post_dist = (mesh, block, L, invKys)
+        self._trained = True
+        f, _ = pgp.pnll_vg(self.kernel, self._hyps, self._x, self._y, mesh,
+                           block=block)
+        return float(f)
 
     # -- prediction API (GP.h:104-119) --------------------------------------
 
 
     def batch_predict(self, xs):
         self._require_trained()
+        if getattr(self, "_post_dist", None) is not None:
+            from ..parallel import pgp
+            mesh, block, L, invKys = self._post_dist
+            mu, s2 = pgp.ppredict(self.kernel, self._hyps, self._x, L,
+                                  invKys, self._as_batch(xs), mesh,
+                                  block=block)
+            return np.asarray(mu), np.asarray(s2)
         mu, s2 = predict(self.kernel, self._hyps, self._x, self._factors(),
                          self._post[-1], self._as_batch(xs), self.solver)
         return np.asarray(mu), np.asarray(s2)
 
     def batch_predict_y(self, xs):
         self._require_trained()
+        if getattr(self, "_post_dist", None) is not None:
+            return np.asarray(predict_y(
+                self.kernel, self._hyps, self._x, self._post_dist[3],
+                self._as_batch(xs)))
         return np.asarray(predict_y(self.kernel, self._hyps, self._x,
                                     self._post[-1], self._as_batch(xs)))
 
     def batch_predict_s2(self, xs):
         self._require_trained()
+        if getattr(self, "_post_dist", None) is not None:
+            return self.batch_predict(xs)[1]
         return np.asarray(predict_s2(self.kernel, self._hyps, self._x,
                                      self._factors(), self._as_batch(xs),
                                      self.solver))

@@ -102,3 +102,26 @@ def test_pset_k_noise_inflation(mesh):
                                   block=4)
     assert np.all(np.isfinite(np.asarray(invKys)))
     assert float(hyp_d[-2]) > np.log(1e-12)    # noise was inflated
+
+
+def test_gp_train_distributed_api(mesh, prob):
+    """Model-level distributed training: same basin as single-device train,
+    sharded posterior serves every predict call."""
+    from gp_tpu import GP
+    x, y = prob
+    Xs = np.asarray(x)[:10] + 0.05
+
+    g1 = GP(np.asarray(x), np.asarray(y))
+    n1 = g1.train()
+    g2 = GP(np.asarray(x), np.asarray(y))
+    n2 = g2.train_distributed(mesh, block=4)
+    span = abs(n1) + 1.0
+    assert abs(n2 - n1) < 0.02 * span
+
+    mu1, s21 = g1.batch_predict(Xs)
+    mu2, s22 = g2.batch_predict(Xs)
+    np.testing.assert_allclose(mu2, mu1, rtol=0.05, atol=0.02)
+    assert np.all(s22 >= 0)
+    # mean-only and s2-only paths work off the sharded posterior
+    assert np.all(np.isfinite(g2.batch_predict_y(Xs)))
+    assert np.all(g2.batch_predict_s2(Xs) >= 0)
