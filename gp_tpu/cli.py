@@ -78,7 +78,7 @@ def main(argv=None) -> int:
         model = cls(X, y, kernel=args.kernel, seed=args.seed)
         num_inducing = args.num_inducing or num_train
         if num_inducing > train_x.shape[0]:
-            print(f"Num test > {train_x.shape[0]}", file=sys.stderr)
+            print(f"Num inducing > {train_x.shape[0]}", file=sys.stderr)
             return 1
         # reference: rightCols(num_inducing) of the FULL train matrix
         model.set_inducing(train_x[-num_inducing:])

@@ -140,7 +140,13 @@ def hyp_range(kernel: KernelSpec, x, y, noise_lb: float):
     lb[:nc], ub[:nc] = cov_lb, cov_ub
     with np.errstate(divide="ignore"):
         lb[nc] = np.log(noise_lb)
-        ub[nc] = max(np.log(10 * noise_lb) if noise_lb > 0 else -np.inf, ub[nc - 1])
+        # reference ties the noise ub to the sigma_f ub (GP.cpp:524-525);
+        # out_scale_idx locates log sigma_f (kernels with trailing extra
+        # hyps, e.g. RQ's log alpha, would otherwise pick the wrong slot)
+        osc = nc + kernel.out_scale_idx if kernel.out_scale_idx < 0 \
+            else kernel.out_scale_idx
+        ub[nc] = max(np.log(10 * noise_lb) if noise_lb > 0 else -np.inf,
+                     ub[osc])
     lb[nc + 1] = y.min()
     ub[nc + 1] = y.max()
     return lb - DBL_EPS, ub + DBL_EPS
@@ -455,7 +461,8 @@ class GPBase:
         hyp = np.asarray(hyp, np.float64)
 
         fun = self._objective_closure()
-        v = jnp.asarray(self._hyp_to_std(hyp), self._dtype)
+        v = jnp.asarray(to_opt_vec(jnp.asarray(self._hyp_to_std(hyp)),
+                                   self._noise_free), self._dtype)
         _, g = fun(v)
         g = np.asarray(g, np.float64)
 

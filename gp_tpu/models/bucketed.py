@@ -141,7 +141,14 @@ class BucketedGP(GP):
         return np.asarray(mu), np.asarray(s2)
 
     def batch_predict_y(self, xs):
-        return self.batch_predict(xs)[0]
+        """O(N T) mean-only path (masked kt . invKys; no variance solves)."""
+        self._require_trained()
+        kernel, hyp = self.kernel, self._hyps
+        nc = kernel.num_hyp(self._xp.shape[1])
+        real = (jnp.arange(self._xp.shape[0]) < self._n_real)[None, :]
+        kt = jnp.where(real, kernel.k(hyp[:nc], self._as_batch(xs),
+                                      self._xp), 0.0)
+        return np.asarray(hyp_mean(hyp) + kt @ self._post[-1])
 
     def batch_predict_s2(self, xs):
         return self.batch_predict(xs)[1]

@@ -338,12 +338,26 @@ class GP(GPBase):
 
     def batch_predict_y_with_grad(self, xs):
         self._require_trained()
+        if getattr(self, "_post_dist", None) is not None:
+            from ..parallel import pgp
+            mesh, block, L, invKys = self._post_dist
+            y, gy, _, _ = pgp.ppredict_with_grad(
+                self.kernel, self._hyps, self._x, L, invKys,
+                self._as_batch(xs), mesh, block=block)
+            return np.asarray(y), np.asarray(gy)
         y, gy = predict_y_with_grad(self.kernel, self._hyps, self._x,
                                     self._post[-1], self._as_batch(xs))
         return np.asarray(y), np.asarray(gy)
 
     def batch_predict_s2_with_grad(self, xs):
         self._require_trained()
+        if getattr(self, "_post_dist", None) is not None:
+            from ..parallel import pgp
+            mesh, block, L, invKys = self._post_dist
+            _, _, s2, gs2 = pgp.ppredict_with_grad(
+                self.kernel, self._hyps, self._x, L, invKys,
+                self._as_batch(xs), mesh, block=block)
+            return np.asarray(s2), np.asarray(gs2)
         s2, gs2 = predict_s2_with_grad(self.kernel, self._hyps, self._x,
                                        self._factors(), self._as_batch(xs),
                                        self.solver)

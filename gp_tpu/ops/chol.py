@@ -6,7 +6,10 @@ QR backends plus a triple-redundant O(N^3) SPD check (GP.cpp:445-461:
 eigendecomposition + inverse residual + solver flag).  On TPU the idiomatic
 equivalent is: factor with jnp.linalg.cholesky, detect failure as NaN in the
 factor's diagonal, and recover with jitter/noise escalation inside
-lax.while_loop (SURVEY.md section 3.5).
+lax.while_loop (SURVEY.md section 3.5).  The escalation loops themselves
+live with their models (exact.set_k, fitc.set_k, vfe.set_k,
+parallel/pgp.pset_k, parallel/psparse) because each rebuilds different
+intermediate quantities per retry.
 
 On a device mesh the factorization is replaced by the distributed blocked
 Cholesky in gp_tpu.parallel.pchol; this module is the single-device path and
@@ -70,64 +73,3 @@ def solve_lower(L, b):
         from .blocked import blocked_solve_lower
         return blocked_solve_lower(L, b)
     return solve_triangular(L, b, lower=True)
-
-
-def noise_escalated_cholesky(Kcov, log_sn, max_tries: int = 64):
-    """Factor Kcov + exp(2*log_sn) I, inflating noise until SPD.
-
-    Reproduces GP::_setK's rescue loop (GP.cpp:431-440): on failure,
-    log_sn += log(sqrt(10)); if log_sn is -inf (noise-free), restart it at
-    log(machine eps).  Bounded retry count keeps the loop jittable.
-
-    Returns (L, log_sn_final, ok).
-    """
-    dtype = Kcov.dtype
-    n = Kcov.shape[-1]
-    eye = jnp.eye(n, dtype=dtype)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    log_sn = jnp.asarray(log_sn, dtype)
-
-    def factor(ls):
-        return cholesky(Kcov + jnp.exp(2.0 * ls) * eye)
-
-    def cond(state):
-        L, ls, tries = state
-        return jnp.logical_and(~chol_ok(L), tries < max_tries)
-
-    def body(state):
-        L, ls, tries = state
-        ls = jnp.where(jnp.isinf(ls), jnp.log(eps), ls + 0.5 * jnp.log(10.0))
-        return factor(ls), ls, tries + 1
-
-    L0 = factor(log_sn)
-    L, log_sn, _ = jax.lax.while_loop(cond, body, (L0, log_sn, jnp.zeros((), jnp.int32)))
-    return L, log_sn, chol_ok(L)
-
-
-def jitter_escalated_cholesky(factor_fn, jitter0, max_tries: int = 64):
-    """Generic jitter-doubling rescue loop (FITC.cpp:184-198, VFE.cpp:146-158).
-
-    factor_fn(jitter) must return a pytree of Cholesky factors; the loop
-    doubles `jitter` until every factor passes chol_ok.  Returns
-    (factors, jitter_final, ok).
-    """
-    jitter0 = jnp.asarray(jitter0)
-
-    def all_ok(factors):
-        oks = [chol_ok(L) for L in jax.tree_util.tree_leaves(factors)]
-        return jnp.all(jnp.stack(oks))
-
-    def cond(state):
-        factors, jit, tries = state
-        return jnp.logical_and(~all_ok(factors), tries < max_tries)
-
-    def body(state):
-        factors, jit, tries = state
-        jit = jit * 2.0
-        return factor_fn(jit), jit, tries + 1
-
-    f0 = factor_fn(jitter0)
-    factors, jitter, _ = jax.lax.while_loop(
-        cond, body, (f0, jitter0, jnp.zeros((), jnp.int32))
-    )
-    return factors, jitter, all_ok(factors)

@@ -246,18 +246,17 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
     return hyp, L, invKys[:n]
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_real", "n_dev", "block", "mesh"))
-def _pquad_program(kernel, chyp, L, x_pad, xs, n_real, n_dev, block, mesh):
-    """sum(k* o K^{-1} k*) per test point via the distributed solve."""
+@partial(jax.jit, static_argnames=("n_dev", "block", "mesh"))
+def _pquad_program(kt_pad, L, n_dev, block, mesh):
+    """sum(k* o K^{-1} k*) per test point via the distributed solve.
+
+    kt_pad: (N_pad, T) cross-covariance columns, padded rows zeroed."""
     def body(L, ktb):
         L, ktb = L.squeeze(1), ktb.squeeze(1)
         kks = pchol.pchol_solve_local(L, ktb, n_dev, AXIS)
         return jax.lax.psum(jnp.einsum("lbt,lbt->t", ktb, kks), AXIS)
 
-    # k(xs, x) columns, padded cols = 0  -> (N_pad, T) in G-layout
-    kt = kernel.k(chyp, x_pad, xs)                        # (N_pad, T)
-    kt = jnp.where(jnp.arange(x_pad.shape[0])[:, None] < n_real, kt, 0.0)
-    ktb = pchol.blocked_layout(kt, n_dev, block)
+    ktb = pchol.blocked_layout(kt_pad, n_dev, block)
     return shard_map(body, mesh=mesh,
                      in_specs=(P(None, AXIS), P(None, AXIS)),
                      out_specs=P(), check_vma=False)(L, ktb)
@@ -279,9 +278,12 @@ def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc]
 
+    # one (T, N) cross-covariance build serves both mean and variance
     kt = kernel.k(chyp, xs, x)                            # (T, N)
     mu = hyp_mean(hyp) + kt @ invKys
-    quad = _pquad_program(kernel, chyp, L, x_pad, xs, n, n_dev, block, mesh)
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x.dtype
+                       ).at[:n, :].set(kt.T)
+    quad = _pquad_program(kt_pad, L, n_dev, block, mesh)
     s2 = jnp.maximum(kernel.diag_k(chyp, xs) - quad, 0.0) + hyp_sn2(hyp)
     return mu, s2
 
@@ -340,3 +342,55 @@ def pfit_multistart(kernel: KernelSpec, noise_free: bool, x, y, vec0s, lb,
         kernel, noise_free, jnp.asarray(vec0s, dt), jnp.asarray(lb, dt),
         jnp.asarray(ub, dt), x_pad, y_pad, n, n_rows, n_starts, block,
         max_evals, mesh)
+
+
+@partial(jax.jit, static_argnames=("n_dev", "block", "mesh"))
+def _psolve_columns(kt_pad, L, n_dev, block, mesh):
+    """K^{-1} kt for T columns via the distributed solve; result gathered
+    to natural row order (replicated) for host-side gradient assembly."""
+    def body(L, ktb):
+        L, ktb = L.squeeze(1), ktb.squeeze(1)
+        kks = pchol.pchol_solve_local(L, ktb, n_dev, AXIS)   # (nbl, B, T)
+        full = jax.lax.all_gather(kks, AXIS)                  # (P, nbl, B, T)
+        return full.transpose(1, 0, 2, 3).reshape(kt_pad.shape)
+
+    ktb = pchol.blocked_layout(kt_pad, n_dev, block)
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(None, AXIS), P(None, AXIS)),
+                     out_specs=P(), check_vma=False)(L, ktb)
+
+
+def ppredict_with_grad(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
+                       block: int | None = None):
+    """(y, gy, s2, gs2) off the SHARDED posterior — the BO acquisition path
+    (GP.cpp:284-296 semantics: gy = dk*/dx . invKys, gs2 = -2 dk*/dx .
+    (K^{-1} k*), the variance clamp excluded from the gradient)."""
+    n_dev = mesh.shape[AXIS]
+    if block is None:
+        block = L.shape[2]
+    x = jnp.asarray(x)
+    xs = jnp.asarray(xs, x.dtype)
+    x_pad, _, n = _pad_xy(x, jnp.zeros((x.shape[0],), x.dtype), n_dev, block)
+    hyp = jnp.asarray(hyp, x.dtype)
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+
+    kt = kernel.k(chyp, xs, x)                           # (T, N)
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x.dtype
+                       ).at[:n, :].set(kt.T)
+    kks = _psolve_columns(kt_pad, L, n_dev, block, mesh)[:n]   # (N, T)
+
+    yfun = lambda xi: hyp_mean(hyp) + jnp.dot(
+        kernel.k(chyp, xi[None, :], x)[0], invKys)
+    y, gy = jax.vmap(jax.value_and_grad(yfun))(xs)
+
+    sf2 = kernel.diag_k(chyp, xs)
+    s2 = jnp.maximum(sf2 - jnp.einsum("tn,nt->t", kt, kks), 0.0) \
+        + hyp_sn2(hyp)
+
+    def gs2_one(xi, kks_t):
+        _, vjp = jax.vjp(lambda z: kernel.k(chyp, z[None, :], x)[0], xi)
+        return vjp(-2.0 * kks_t)[0]
+
+    gs2 = jax.vmap(gs2_one)(xs, kks.T)
+    return y, gy, s2, gs2

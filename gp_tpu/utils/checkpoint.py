@@ -22,7 +22,19 @@ _FORMAT_VERSION = 1
 
 
 def save_model(model, path: str) -> None:
-    """Serialize a (possibly trained) GP/FITC/VFE to `path` (.npz)."""
+    """Serialize a (possibly trained) model to `path` (.npz).
+
+    A distributed (sharded) posterior is not serialized: the checkpoint
+    downgrades to untrained-with-hyps and warns — re-run
+    train_distributed (or _update_posterior) after loading."""
+    import warnings
+
+    trained = model._trained
+    if trained and model._post is None:
+        warnings.warn("distributed posterior is not serialized; the "
+                      "checkpoint stores hyperparameters only — refit or "
+                      "recompute the posterior after loading")
+        trained = False
     arrays = {
         "x": np.asarray(model._x),
         "y": np.asarray(model._y),
@@ -31,18 +43,21 @@ def save_model(model, path: str) -> None:
         "format_version": _FORMAT_VERSION,
         "model": type(model).__name__,
         "kernel": model.kernel.name,
+        "solver": model.solver.name,
         "dtype": jnp.dtype(model._dtype).name,
         "noise_lb": model._noise_lb,
         "noise_free": model._noise_free,
         "fixhyps": model._fixhyps,
-        "trained": model._trained,
+        "trained": trained,
     }
+    if hasattr(model, "_bucket"):
+        meta["bucket"] = int(model._bucket)
     if model._hyps is not None:
         arrays["hyps"] = np.asarray(model._hyps)
     if hasattr(model, "_u"):
         arrays["inducing"] = np.asarray(model._u)
         meta["jitter_u"] = float(model._jitter_u)
-    if model._trained and model._post is not None:
+    if trained and model._post is not None:
         for i, a in enumerate(model._post):
             arrays[f"post_{i}"] = np.asarray(a)
         meta["num_post"] = len(model._post)
@@ -55,11 +70,12 @@ def load_model(path: str):
     no refactorization)."""
     import jax
 
+    from ..models.bucketed import BucketedGP
     from ..models.exact import GP
     from ..models.fitc import FITC
     from ..models.vfe import VFE
 
-    classes = {"GP": GP, "FITC": FITC, "VFE": VFE}
+    classes = {"GP": GP, "FITC": FITC, "VFE": VFE, "BucketedGP": BucketedGP}
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         if meta["format_version"] > _FORMAT_VERSION:
@@ -67,8 +83,11 @@ def load_model(path: str):
                 f"checkpoint format {meta['format_version']} is newer than "
                 f"this library ({_FORMAT_VERSION})")
         cls = classes[meta["model"]]
-        model = cls(z["x"], z["y"], kernel=meta["kernel"],
-                    dtype=meta["dtype"])
+        kw = dict(kernel=meta["kernel"], dtype=meta["dtype"],
+                  solver=meta.get("solver", "chol"))
+        if "bucket" in meta:
+            kw["bucket"] = meta["bucket"]
+        model = cls(z["x"], z["y"], **kw)
         model._noise_lb = meta["noise_lb"]
         model._noise_free = meta["noise_free"]
         model._fixhyps = meta["fixhyps"]

@@ -50,3 +50,50 @@ def test_load_preserves_flags(tmp_path, toy_problem):
     m2 = GP.load(p)
     assert m2._noise_lb == 0.05
     assert m2._fixhyps
+
+
+def test_roundtrip_preserves_solver(tmp_path, toy_problem):
+    """A QR-trained model must reload with the QR solver (a Cholesky solve
+    applied to (Q, R) factors silently corrupts predictive variances)."""
+    X, y, Xs, _ = toy_problem
+    m = GP(X, y, solver="qr")
+    m.train()
+    mu, s2 = m.batch_predict(Xs)
+    p = str(tmp_path / "qr.npz")
+    m.save(p)
+    m2 = GP.load(p)
+    assert m2.solver.name == "qr"
+    mu2, s22 = m2.batch_predict(Xs)
+    np.testing.assert_array_equal(mu2, mu)
+    np.testing.assert_array_equal(s22, s2)
+
+
+def test_roundtrip_bucketed(tmp_path, toy_problem):
+    from gp_tpu import BucketedGP
+    X, y, Xs, _ = toy_problem
+    m = BucketedGP(X, y, bucket=16)
+    m.train()
+    mu, s2 = m.batch_predict(Xs)
+    p = str(tmp_path / "b.npz")
+    m.save(p)
+    m2 = BucketedGP.load(p)
+    assert m2.trained and m2.capacity == m.capacity
+    mu2, s22 = m2.batch_predict(Xs)
+    np.testing.assert_array_equal(mu2, mu)
+    np.testing.assert_array_equal(s22, s2)
+
+
+def test_distributed_posterior_degrades_with_warning(tmp_path, toy_problem):
+    import warnings
+    from gp_tpu.parallel.mesh import make_mesh
+    X, y, _, _ = toy_problem
+    m = GP(X, y)
+    m.train_distributed(make_mesh(8, "rows"), block=4)
+    p = str(tmp_path / "d.npz")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m.save(p)
+    assert any("distributed posterior" in str(x.message) for x in w)
+    m2 = GP.load(p)
+    assert not m2.trained
+    assert m2.get_hyp() is not None       # hyps survived

@@ -37,52 +37,74 @@ def test_chol_detects_non_spd():
     assert not bool(chol.chol_ok(L))
 
 
-def test_noise_escalation_recovers():
-    """GP::_setK rescue loop (GP.cpp:431-440): noise inflated by sqrt(10)
-    per round until the factorization succeeds."""
+def _dup_problem():
+    """Near-singular kernel matrix: duplicated points, tiny noise."""
     rng = np.random.default_rng(5)
     X = rng.standard_normal((30, 2))
-    # near-singular kernel matrix: duplicate points, tiny noise
     X[15:] = X[:15]
-    d2 = np.sum((X[:, None] - X[None, :]) ** 2, -1)
-    Kcov = np.exp(-0.5 * d2)
+    y = np.sin(X[:, 0])
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_noise_escalation_recovers():
+    """GP::_setK rescue loop (GP.cpp:431-440) on the PRODUCTION path
+    (exact.set_k): noise inflated by sqrt(10) per round until SPD."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    x, y = _dup_problem()
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
     log_sn = np.log(1e-12)
-    L, log_sn_out, ok = chol.noise_escalated_cholesky(jnp.asarray(Kcov), log_sn)
-    assert bool(ok)
-    assert float(log_sn_out) > log_sn
-    # steps are multiples of log(sqrt(10))
-    steps = (float(log_sn_out) - log_sn) / (0.5 * np.log(10))
-    assert steps == pytest.approx(round(steps), abs=1e-9)
+    hyp[-2] = log_sn
+    hyp_out, f, invKys = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    assert np.all(np.isfinite(np.asarray(invKys)))
+    assert float(hyp_out[-2]) > log_sn
+    steps = (float(hyp_out[-2]) - log_sn) / (0.5 * np.log(10))
+    assert steps == pytest.approx(round(steps), abs=1e-6)
 
 
 def test_noise_escalation_from_noise_free():
-    """-inf noise restarts at log(eps) (GP.cpp:433)."""
-    Kcov = np.zeros((4, 4))  # rank-0: needs noise to factor
-    L, log_sn_out, ok = chol.noise_escalated_cholesky(
-        jnp.asarray(Kcov), -np.inf)
-    assert bool(ok)
-    assert np.isfinite(float(log_sn_out))
+    """-inf noise restarts at log(eps) (GP.cpp:433), production path."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    x, y = _dup_problem()
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, True)   # noise-free: log_sn=-inf
+    hyp_out, f, invKys = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    assert np.isfinite(float(hyp_out[-2]))
+    assert np.all(np.isfinite(np.asarray(invKys)))
 
 
 def test_noise_escalation_noop_when_spd(spd):
-    log_sn = 0.0
-    L, log_sn_out, ok = chol.noise_escalated_cholesky(jnp.asarray(spd), log_sn)
-    assert bool(ok)
-    assert float(log_sn_out) == log_sn
+    """Well-conditioned K: set_k must not touch the noise level."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-2, 2, (25, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
+    hyp_out, _, _ = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    assert float(hyp_out[-2]) == pytest.approx(hyp[-2], abs=1e-12)
 
 
 def test_jitter_escalation():
-    """FITC/VFE jitter-doubling rescue (FITC.cpp:184-198)."""
-    rng = np.random.default_rng(6)
-    B = rng.standard_normal((20, 3))
-    Kuu = B @ B.T - 1e-6 * np.eye(20)  # indefinite: needs jitter > 1e-6
+    """FITC jitter-doubling rescue (FITC.cpp:184-198), production path."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import fitc
+    from gp_tpu.models.base import default_hyps
 
-    def factor(j):
-        return (chol.cholesky(jnp.asarray(Kuu) + j * jnp.eye(20)),)
-
-    factors, jitter, ok = chol.jitter_escalated_cholesky(factor, 1e-10)
+    x, y = _dup_problem()
+    u = x                                  # duplicated inducing: needs jitter
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
+    hyp[-2] = np.log(1e-10)
+    j0 = 1e-12
+    Luu, LA, alpha, jitter, ok = fitc.set_k(
+        SE_ARD, jnp.asarray(hyp), x, y, u, jnp.asarray(j0))
     assert bool(ok)
-    assert float(jitter) > 1e-10
-    # doubling pattern
-    ratio = float(jitter) / 1e-10
-    assert abs(np.log2(ratio) - round(np.log2(ratio))) < 1e-9
+    assert float(jitter) > j0
+    ratio = float(jitter) / j0
+    assert abs(np.log2(ratio) - round(np.log2(ratio))) < 1e-6

@@ -105,7 +105,7 @@ def test_get_kernel_factory():
     assert get_kernel("SE_ISO") is SE_ISO
     assert get_kernel(SE_ARD) is SE_ARD
     with pytest.raises(ValueError):
-        get_kernel("matern52")
+        get_kernel("bogus_kernel")
 
 
 def test_kernel_symmetry_and_psd(xy):

@@ -125,3 +125,28 @@ def test_gp_train_distributed_api(mesh, prob):
     # mean-only and s2-only paths work off the sharded posterior
     assert np.all(np.isfinite(g2.batch_predict_y(Xs)))
     assert np.all(g2.batch_predict_s2(Xs) >= 0)
+
+
+def test_distributed_predict_with_grad(mesh, prob):
+    """BO acquisition path off the sharded posterior: gradients match finite
+    differences of the model's own predictive surfaces."""
+    from gp_tpu import GP
+    x, y = prob
+    g = GP(np.asarray(x), np.asarray(y))
+    g.train_distributed(mesh, block=4)
+    xs = np.asarray(x)[:3] + 0.07
+
+    yv, gy = g.batch_predict_y_with_grad(xs)
+    s2, gs2 = g.batch_predict_s2_with_grad(xs)
+    assert gy.shape == xs.shape and gs2.shape == xs.shape
+
+    eps = 1e-5
+    for t in range(2):
+        for i in range(xs.shape[1]):
+            e = np.zeros_like(xs[t]); e[i] = eps
+            fd_y = (g.batch_predict_y(xs[t] + e)[0]
+                    - g.batch_predict_y(xs[t] - e)[0]) / (2 * eps)
+            np.testing.assert_allclose(gy[t, i], fd_y, rtol=2e-4, atol=1e-7)
+            fd_s2 = (g.batch_predict_s2(xs[t] + e)[0]
+                     - g.batch_predict_s2(xs[t] - e)[0]) / (2 * eps)
+            np.testing.assert_allclose(gs2[t, i], fd_s2, rtol=2e-3, atol=1e-7)
