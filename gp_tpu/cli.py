@@ -104,7 +104,13 @@ def main(argv=None) -> int:
         print(f"{v:.9g}")
 
     if args.model != "gp":
-        model.test_obj(model.get_hyp())          # gradient self-check
+        # gradient self-check table, as the reference prints it
+        # (FITC::test_obj, FITC.cpp:324-352: hyp | analytic | numeric)
+        nll_chk, g, fd = model.test_obj(model.get_hyp())
+        print(f"test_obj nll: {nll_chk:.9g}")
+        print(f"{'hyp':>15s} {'analytic':>15s} {'numeric':>15s}")
+        for h, a, b in zip(model.get_hyp(), g, fd):
+            print(f"{h:15.6g} {a:15.6g} {b:15.6g}")
 
     t3 = time.perf_counter()
     predy = model.batch_predict_y(test_x)
