@@ -84,6 +84,49 @@ class BucketedGP(GP):
         self._ysp = jax.lax.dynamic_update_slice(
             self._ysp, ys_new.astype(self._dtype), (n0,))
 
+    def absorb(self, x, y):
+        """Add ONE point and update the posterior in O(capacity^2) without
+        refitting (hyperparameters kept fixed) — the Bayesian-optimization
+        serving fast path.  Requires a trained model with the Cholesky
+        solver, in-capacity; falls back to add_data + _update_posterior
+        (O(cap^3) refactorization) when the cheap append is not possible.
+        """
+        from .exact import append_posterior_masked
+
+        x = np.asarray(x, np.float64).reshape(-1)
+        y = float(np.asarray(y).reshape(()))
+        if x.shape[0] != self._dim:
+            raise ValueError(f"absorb expects a single point of dim "
+                             f"{self._dim}")
+        cheap = (self._trained and self.solver.name == "chol"
+                 and self.num_train + 1 <= self.capacity)
+        if not cheap:
+            self.add_data(x[None, :], [y])
+            if self._hyps is not None:
+                self._update_posterior()
+                self._trained = True
+            return
+
+        n0 = self.num_train
+        xd = jnp.asarray(x, self._dtype)
+        yd = jnp.asarray(y, self._dtype)
+        L = self._post[0]
+        xp, yp, L2, invKys, ok = append_posterior_masked(
+            self.kernel, self._hyps, self._xp, self._yp, n0, L, xd, yd)
+        # keep host-side real arrays + standardized buffer in sync
+        self._x = jnp.concatenate([self._x, xd[None, :]], axis=0)
+        self._y = jnp.concatenate([self._y, yd[None]], axis=0)
+        self._n_real = jnp.asarray(self.num_train, jnp.int32)
+        self._xp, self._yp = xp, yp
+        ys_new = (yd - self._y_mu) / self._y_sigma
+        self._ysp = jax.lax.dynamic_update_slice(
+            self._ysp, jnp.reshape(ys_new.astype(self._dtype), (1,)), (n0,))
+        self._invalidate_closures()
+        if bool(ok):
+            self._post = (L2, invKys)
+        else:   # non-positive pivot: full rescue path
+            self._update_posterior()
+
     # -- jitted-stage overrides (masked-capacity variants) -------------------
     def _nll_value(self, hyp):
         v = nll_raw_masked(self.kernel, jnp.asarray(hyp, self._dtype),

@@ -23,6 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.linalg import solve_triangular
 
 from ..config import INF
 from ..ops.kernels import KernelSpec
@@ -468,3 +469,47 @@ def predict_masked(kernel: KernelSpec, hyp, x_pad, f, invKys, n_real, xs,
     sf2 = kernel.diag_k(chyp, xs)
     s2 = jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
     return mu, s2
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def append_posterior_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_old,
+                            L, x_new, y_new):
+    """O(cap^2) posterior append: one new point enters the Cholesky factor.
+
+    With the masked-capacity layout the factor is blockdiag(L_real, I), so
+    appending a point at index n_old only writes one new row:
+
+        l      = L_real^{-1} k(X, x_new)
+        L[n,n] = sqrt(k(x,x) + sn2 - |l|^2)
+
+    followed by the O(cap^2) triangular re-solve for invKys — versus the
+    O(cap^3) refactorization of set_k_masked.  The reference pays the full
+    refit on every BO step (GP.cpp:43-55 + train); this is the serving
+    fast path when hyperparameters are kept fixed.
+
+    Returns (x_pad', y_pad', L', invKys', ok) — ok=False when the appended
+    pivot is not positive (caller falls back to set_k_masked).
+    """
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    cap = x_pad.shape[0]
+
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x_new[None, :], (n_old, 0))
+    y_pad = jax.lax.dynamic_update_slice(
+        y_pad, jnp.reshape(y_new, (1,)), (n_old,))
+
+    ids = jnp.arange(cap)
+    below = (ids < n_old).astype(x_pad.dtype)
+    kvec = kernel.k(chyp, x_new[None, :], x_pad)[0] * below    # (cap,)
+    l = solve_triangular(L, kvec, lower=True)                  # pads -> 0
+    knn = kernel.diag_k(chyp, x_new[None, :])[0] + sn2
+    piv2 = knn - jnp.dot(l, l)
+    ok = piv2 > 0
+    newrow = l.at[n_old].set(jnp.sqrt(jnp.maximum(piv2, 0.0)))
+    L = jax.lax.dynamic_update_slice(L, newrow[None, :], (n_old, 0))
+
+    r = jnp.where(ids < n_old + 1, y_pad - hyp_mean(hyp), 0.0)
+    z = solve_triangular(L, r, lower=True)
+    invKys = solve_triangular(L, z, lower=True, trans=1)
+    return x_pad, y_pad, L, invKys, ok

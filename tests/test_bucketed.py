@@ -82,3 +82,33 @@ def test_incremental_matches_batch(prob):
     mu_i = inc.batch_predict_y(Xs)
     mu_s = scratch.batch_predict_y(Xs)
     np.testing.assert_allclose(mu_i, mu_s, rtol=0.2, atol=0.05)
+
+
+def test_absorb_matches_refactorization(prob):
+    """O(cap^2) posterior append == full set_k refactorization."""
+    X, y, Xs = prob
+    rng = np.random.default_rng(13)
+
+    fast = BucketedGP(X[:40], y[:40], bucket=16)
+    fast.train()
+    hyp = fast.get_hyp()
+
+    slow = BucketedGP(X[:40], y[:40], bucket=16)
+    slow.train()
+
+    for i in range(5):
+        xi = rng.uniform(-2, 2, 3)
+        yi = float(np.sin(xi[0]))
+        fast.absorb(xi, yi)
+        slow.add_data(xi[None, :], [yi])
+        slow._hyps = slow._hyps  # keep same hyps: no refit
+        slow._update_posterior()
+        slow._trained = True
+
+        mu_f, s2_f = fast.batch_predict(Xs)
+        mu_s, s2_s = slow.batch_predict(Xs)
+        np.testing.assert_allclose(mu_f, mu_s, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(s2_f, s2_s, rtol=1e-7, atol=1e-10)
+
+    assert fast.num_train == 45
+    np.testing.assert_allclose(fast.get_hyp(), hyp)   # hyps untouched
