@@ -254,3 +254,16 @@ def test_reference_data_subset(ref_data_small):
     base = np.sqrt(np.mean((y.mean() - ys) ** 2))
     rmse = np.sqrt(np.mean((mu - ys) ** 2))
     assert rmse < base
+
+
+def test_seed_determinism(toy_problem):
+    """DEBUG_RAND_SEED analog (def.cpp:10-16): same seed => identical
+    multi-start results; different seeds may differ."""
+    X, y, _, _ = toy_problem
+    from gp_tpu import GP
+    a = GP(X, y, seed=7)
+    b = GP(X, y, seed=7)
+    na = a.train_multistart(n_starts=4)
+    nb = b.train_multistart(n_starts=4)
+    assert na == nb
+    np.testing.assert_array_equal(a.get_hyp(), b.get_hyp())
