@@ -199,10 +199,14 @@ def pinv_from_chol_local(L_loc, n_dev: int, axis_name: str):
     """K^{-1} = L^{-T} L^{-1}, row-sharded G-layout (nbl, B, N).
 
     W = L^{-1} via ptrsm with an identity RHS, then the distributed SYRK
-    K^{-1}[g-rows] = psum_q  sum_{local l} W[l][:, g-cols]^T W[l].
+    K^{-1}[g-rows] = psum_q  sum_{local l} W[l][:, g-cols]^T W[l],
+    streamed one output row-block at a time so per-device peak memory is
+    O(B N) on top of the O(N^2/P) shards — never a replicated N x N.
     O(N^3/P) compute, O(N^2) ICI traffic.
     """
     nbl, B, N = L_loc.shape
+    nb = nbl * n_dev
+    p = jax.lax.axis_index(axis_name)
     g = _local_blocks(nbl, n_dev, axis_name)
 
     # this device's rows of I, built as one-hots (no N x N eye materialized)
@@ -211,9 +215,11 @@ def pinv_from_chol_local(L_loc, n_dev: int, axis_name: str):
                 ).astype(L_loc.dtype)
     W = ptrsm_lower_local(L_loc, eye_rows, n_dev, axis_name)
 
-    # local partial of W^T W, then reduce; each device keeps its own blocks
-    part = jnp.einsum("lrc,lrn->cn", W, W)               # (N, N) partial
-    full = jax.lax.psum(part, axis_name)
-    return jax.vmap(
-        lambda gi: jax.lax.dynamic_slice(full, (gi * B, 0), (B, N))
-    )(g)
+    Kinv = jnp.zeros_like(L_loc)
+    for gi in range(nb):                                 # static unroll
+        lj, owner = gi // n_dev, gi % n_dev
+        part = jnp.einsum("lrc,lrn->cn",
+                          W[:, :, gi * B:(gi + 1) * B], W)     # (B, N)
+        full = jax.lax.psum(part, axis_name)
+        Kinv = Kinv.at[lj].set(jnp.where(p == owner, full, Kinv[lj]))
+    return Kinv
