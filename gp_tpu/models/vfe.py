@@ -206,6 +206,16 @@ class VFE(SparseGPBase):
 
     _MAX_EVAL = 150  # VFE.cpp:74
 
+    def train(self, init_hyps=None) -> float:
+        """VFE.cpp:94-101: uniquely among the models, a failed optimization
+        re-seeds via the global search and retries once."""
+        nlz = super().train(init_hyps)
+        if not np.isfinite(nlz):
+            reseeded = self.select_init_hyp(
+                self._num_hyp * 50, self.get_default_hyps())
+            nlz = super().train(reseeded)
+        return nlz
+
     def _nll_value(self, hyp):
         return nll(self.kernel, hyp, self._x, self._y, self._u,
                    jnp.asarray(self._jitter_u, self._dtype))

@@ -184,7 +184,13 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
          mesh: Mesh, block: int = 256, max_evals: int = 160) -> LBFGSBResult:
     """Distributed bounded MLE fit: the whole L-BFGS-B loop runs on-device;
     each objective evaluation factors the block-cyclic sharded K (pchol) and
-    assembles the analytic gradient with psums — GP::train at pod scale."""
+    assembles the analytic gradient with psums — GP::train at pod scale.
+
+    Float32 note: pass STANDARDIZED targets ((y - mean)/std with
+    correspondingly shifted hyp bounds — see models/base.py) or use
+    GP.train_distributed, which does it for you; raw large-scale y puts
+    the f32 objective on a rounding plateau (DESIGN.md precision policy).
+    """
     n_dev = mesh.shape[AXIS]
     x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
     dt = x_pad.dtype

@@ -53,3 +53,10 @@ def test_cli_num_train_too_large(tmp_path):
     r = _run_cli(tmp_path, "gp", "999999")
     assert r.returncode == 1
     assert "Num train >" in r.stderr
+
+
+def test_cli_multistart_flag(tmp_path):
+    r = _run_cli(tmp_path, "gp", "120", "--starts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    pred = np.loadtxt(tmp_path / "pred")
+    assert pred.shape == (2000, 2) and np.all(np.isfinite(pred))
