@@ -14,7 +14,11 @@ REF_DATA = "/root/reference/data"
 def _run_cli(tmp_path, *args):
     for f in ("train_x", "train_y", "test_x"):
         os.symlink(os.path.join(REF_DATA, f), tmp_path / f)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # prepend (not replace): the session PYTHONPATH may carry the TPU
+    # plugin site (e.g. /root/.axon_site) — clobbering it breaks the
+    # default backend for non---cpu runs
+    pp = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{pp}" if pp else REPO)
     return subprocess.run(
         [sys.executable, "-m", "gp_tpu.cli", *args, "--cpu"],
         cwd=tmp_path, env=env, capture_output=True, text=True, timeout=900)
