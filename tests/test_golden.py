@@ -68,3 +68,22 @@ def test_trained_fit_parity(data500):
     assert nlz <= res.fun * (1 + 1e-3) + 1e-6, (
         f"our fit ({nlz}) is worse than scipy reference-equivalent "
         f"({res.fun})")
+
+
+def test_nll_parity_at_recorded_optimum():
+    """Our objective evaluated at the RECORDED reference-equivalent optimum
+    (scipy L-BFGS-B f64, N=2000 full fit — benchmarks/golden/) must
+    reproduce the recorded NLL.  A strong cross-check far from the default
+    hyps, at one evaluation's cost."""
+    import json
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "golden",
+        "ref_equiv_train_n2000.json")
+    with open(p) as fh:
+        rec = json.load(fh)
+    X, y = ref_equiv.load(2000)
+    import jax.numpy as jnp
+    nll = float(exact.nll(SE_ARD, jnp.asarray(rec["hyp"]), jnp.asarray(X),
+                          jnp.asarray(y)))
+    np.testing.assert_allclose(nll, rec["final_nll"], rtol=1e-9)
