@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DBL_EPS, DEFAULT_SEED, INF, default_dtype, x64_enabled
+from ..config import DBL_EPS, DEFAULT_SEED, INF, default_dtype
 from ..ops.kernels import KernelSpec, get_kernel
 
 

@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.solvers import CHOL
-from .base import from_opt_vec, hyp_mean, hyp_sn2, to_opt_vec
+from .base import from_opt_vec, hyp_mean, hyp_sn2
 from .exact import (GP, fit_masked, nll_raw_masked, predict_masked,
                     set_k_masked)
 from ..config import INF

@@ -86,8 +86,7 @@ class SparseGPBase(GPBase):
         import warnings as _w
 
         from ..parallel import psparse
-        from .base import hyp_range, to_opt_vec
-        from ..models.base import from_opt_vec
+        from .base import to_opt_vec
 
         if self._noise_free:
             _w.warn(f"{type(self).__name__} can't be noise free; "

@@ -21,9 +21,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .kernels import (KernelSpec, KERNELS, _lscale_bounds_per_dim,
-                      _seard_default_hyp, _seard_hyp_range,
-                      _seiso_default_hyp, _seiso_hyp_range)
+from .kernels import (KernelSpec, KERNELS, _seard_default_hyp,
+                      _seard_hyp_range, _seiso_default_hyp,
+                      _seiso_hyp_range)
 from .sdist import sqdist
 
 _R_FLOOR = 1e-32

@@ -68,8 +68,6 @@ def save_model(model, path: str) -> None:
 def load_model(path: str):
     """Reconstruct the model saved by `save_model` (posterior cache intact —
     no refactorization)."""
-    import jax
-
     from ..models.bucketed import BucketedGP
     from ..models.exact import GP
     from ..models.fitc import FITC
