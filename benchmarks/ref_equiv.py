@@ -71,6 +71,150 @@ def nll_and_grad(hyp, X, y):
     return nll, g
 
 
+# --------------------------------------------------------------------------
+# Sparse-model oracles (FITC.cpp:201-319, VFE.cpp:161-249)
+#
+# Forward NLLs are straight NumPy-f64 transcriptions of the reference
+# algebra (no clamps, no standardization — original units, exactly as the
+# C++ computes).  Gradients come from torch-CPU autograd over an
+# independent torch-f64 implementation of the same objective: a different
+# AD engine and a different BLAS than both the JAX library under test and
+# the NumPy forward, cross-checked against the NumPy value at every call.
+# --------------------------------------------------------------------------
+
+def _se_ard(hyp_cov, a, b):
+    """SE-ARD kernel matrix (CovSEard.cpp:7-11), hyp_cov=[log l.., log sf]."""
+    d = a.shape[1]
+    ell = np.exp(hyp_cov[:d])
+    sf2 = np.exp(2.0 * hyp_cov[d])
+    return sf2 * np.exp(-0.5 * sqdist(a / ell, b / ell))
+
+
+def fitc_nll(hyp, X, y, U, jitter):
+    """FITC NLL (FITC.cpp:201-228).  hyp=[log l.., log sf, log sn, mean]."""
+    n, d = X.shape
+    m = U.shape[0]
+    sn2 = np.exp(2.0 * hyp[d + 1])
+    sf2 = np.exp(2.0 * hyp[d])
+    r = y - hyp[d + 2]
+
+    Kuu = _se_ard(hyp, U, U) + jitter * np.eye(m)
+    Kxu = _se_ard(hyp, X, U)
+    Luu = sla.cholesky(Kuu, lower=True)
+    V = sla.solve_triangular(Luu, Kxu.T, lower=True)          # (M, N)
+    qdiag = (V * V).sum(0)
+    gamma = (sn2 + sf2 - qdiag) / sn2                          # FITC.cpp:215
+    A = sn2 * Kuu + (Kxu.T / gamma) @ Kxu                      # FITC.cpp:217
+    LA = sla.cholesky(A, lower=True)
+    t1 = Kxu.T @ (r / gamma)
+    fit = (r / gamma) @ (r - Kxu @ sla.cho_solve((LA, True), t1)) / sn2
+    logdet = (2.0 * np.log(np.diag(LA)).sum()
+              - 2.0 * np.log(np.diag(Luu)).sum()
+              + np.log(gamma).sum() + (n - m) * np.log(sn2))
+    return 0.5 * (fit + logdet + n * np.log(2 * np.pi))
+
+
+def vfe_nll(hyp, X, y, U, jitter):
+    """VFE NLL (VFE.cpp:161-189)."""
+    n, d = X.shape
+    m = U.shape[0]
+    sn2 = np.exp(2.0 * hyp[d + 1])
+    sf2 = np.exp(2.0 * hyp[d])
+    r = y - hyp[d + 2]
+
+    Kuu = _se_ard(hyp, U, U) + jitter * np.eye(m)
+    Kxu = _se_ard(hyp, X, U)
+    A = sn2 * Kuu + Kxu.T @ Kxu                                # VFE.cpp:174
+    Luu = sla.cholesky(Kuu, lower=True)
+    LA = sla.cholesky(A, lower=True)
+    alpha = (r - Kxu @ sla.cho_solve((LA, True), Kxu.T @ r)) / sn2
+    V = sla.solve_triangular(Luu, Kxu.T, lower=True)
+    trace_term = (n * sf2 - (V * V).sum()) / sn2               # VFE.cpp:185-188
+    return (0.5 * (n * np.log(2 * np.pi)
+                   + 2.0 * np.log(np.diag(LA)).sum()
+                   - 2.0 * np.log(np.diag(Luu)).sum()
+                   + (n - m) * np.log(sn2) + r @ alpha)
+            + 0.5 * trace_term)
+
+
+def _sparse_nll_torch(model, hyp_t, X_t, y_t, U_t, jitter):
+    """The same objectives in torch f64 (autograd supplies the gradient)."""
+    import torch
+
+    n, d = X_t.shape
+    m = U_t.shape[0]
+    ell = torch.exp(hyp_t[:d])
+    sf2 = torch.exp(2.0 * hyp_t[d])
+    sn2 = torch.exp(2.0 * hyp_t[d + 1])
+    r = y_t - hyp_t[d + 2]
+
+    def k(a, b):
+        asc, bsc = a / ell, b / ell
+        d2 = ((asc * asc).sum(1)[:, None] + (bsc * bsc).sum(1)[None, :]
+              - 2.0 * asc @ bsc.T).clamp_min(0.0)
+        return sf2 * torch.exp(-0.5 * d2)
+
+    eye_m = torch.eye(m, dtype=X_t.dtype)
+    Kuu = k(U_t, U_t) + jitter * eye_m
+    Kxu = k(X_t, U_t)
+    Luu = torch.linalg.cholesky(Kuu)
+    log_2pi = float(np.log(2.0 * np.pi))
+
+    if model == "fitc":
+        V = torch.linalg.solve_triangular(Luu, Kxu.T, upper=False)
+        qdiag = (V * V).sum(0)
+        gamma = (sn2 + sf2 - qdiag) / sn2
+        A = sn2 * Kuu + (Kxu.T / gamma) @ Kxu
+        LA = torch.linalg.cholesky(A)
+        t1 = Kxu.T @ (r / gamma)
+        fit = (r / gamma) @ (r - Kxu @ torch.cholesky_solve(
+            t1[:, None], LA)[:, 0]) / sn2
+        logdet = (2.0 * torch.log(torch.diagonal(LA)).sum()
+                  - 2.0 * torch.log(torch.diagonal(Luu)).sum()
+                  + torch.log(gamma).sum() + (n - m) * torch.log(sn2))
+        return 0.5 * (fit + logdet + n * log_2pi)
+    else:  # vfe
+        A = sn2 * Kuu + Kxu.T @ Kxu
+        LA = torch.linalg.cholesky(A)
+        alpha = (r - Kxu @ torch.cholesky_solve(
+            (Kxu.T @ r)[:, None], LA)[:, 0]) / sn2
+        V = torch.linalg.solve_triangular(Luu, Kxu.T, upper=False)
+        trace_term = (n * sf2 - (V * V).sum()) / sn2
+        return (0.5 * (n * log_2pi
+                       + 2.0 * torch.log(torch.diagonal(LA)).sum()
+                       - 2.0 * torch.log(torch.diagonal(Luu)).sum()
+                       + (n - m) * torch.log(sn2) + r @ alpha)
+                + 0.5 * trace_term)
+
+
+def sparse_nll_and_grad(model, hyp, X, y, U, jitter, check=True):
+    """(NLL, grad) for 'fitc'/'vfe' — torch autograd, NumPy cross-check.
+
+    Non-SPD / non-finite evaluations return INF with a zero gradient,
+    mirroring the reference's objective sanitization (GP.cpp:147-171:
+    any failure or non-finite value/gradient -> INF)."""
+    import torch
+
+    hyp_t = torch.tensor(hyp, dtype=torch.float64, requires_grad=True)
+    X_t = torch.tensor(X, dtype=torch.float64)
+    y_t = torch.tensor(y, dtype=torch.float64)
+    U_t = torch.tensor(U, dtype=torch.float64)
+    try:
+        f = _sparse_nll_torch(model, hyp_t, X_t, y_t, U_t, jitter)
+        (g,) = torch.autograd.grad(f, hyp_t)
+        f = float(f.detach())
+        g = g.numpy()
+    except (torch._C._LinAlgError, RuntimeError):
+        return np.inf, np.zeros_like(hyp)
+    if not (np.isfinite(f) and np.all(np.isfinite(g))):
+        return np.inf, np.zeros_like(hyp)
+    if check:
+        ref = (fitc_nll if model == "fitc" else vfe_nll)(hyp, X, y, U, jitter)
+        rel = abs(f - ref) / max(abs(ref), 1.0)
+        assert rel < 1e-6, (f, ref, rel)
+    return f, g
+
+
 def default_hyps(X, y, noise_lb=1e-3):
     d = X.shape[1]
     hyp = np.empty(d + 3)
@@ -125,12 +269,75 @@ def train(n=8000, max_eval=160):
     return out
 
 
+def train_sparse(model, n=8000, m=512, max_eval=None, noise_lb=1e-3):
+    """Full golden MLE fit of the FITC/VFE oracle — the reference drivers'
+    exact configuration (test_fitc.cpp:11-60 / test_vfe.cpp:12-64):
+    inducing = rightCols(m) of the FULL train matrix, jitter=(0.1*noise_lb)^2,
+    VFE noise init log std(y), eval budgets 130/150."""
+    from scipy.optimize import minimize
+    from gp_tpu.models.base import hyp_range
+    from gp_tpu import SE_ARD
+    from gp_tpu.utils.io import read_matrix
+
+    X, y = load(n)
+    U = read_matrix(os.path.join(REF_DATA, "train_x"))[-m:]
+    jitter = (0.1 * noise_lb) ** 2                     # FITC.cpp:27-31
+    hyp0 = default_hyps(X, y, noise_lb)
+    if model == "vfe":
+        hyp0[-2] = np.log(np.std(y, ddof=1))           # test_vfe.cpp:39
+    lb, ub = hyp_range(SE_ARD, X, y, noise_lb)
+    bounds = [(l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+              for l, u in zip(lb, ub)]
+    max_eval = max_eval or (130 if model == "fitc" else 150)
+
+    t0 = time.perf_counter()
+    res = minimize(lambda h: sparse_nll_and_grad(model, h, X, y, U, jitter),
+                   np.clip(hyp0, lb, ub), jac=True, method="L-BFGS-B",
+                   bounds=bounds, options={"maxfun": max_eval})
+    dt = time.perf_counter() - t0
+    nll_default, _ = sparse_nll_and_grad(model, np.clip(hyp0, lb, ub),
+                                         X, y, U, jitter)
+    out = {"metric": f"cpu_ref_equiv_{model}_train_s_n{n}_m{m}",
+           "value": dt, "unit": "s", "final_nll": float(res.fun),
+           "nll_at_default": float(nll_default), "nfev": int(res.nfev),
+           "jitter": jitter, "hyp": [float(v) for v in res.x]}
+    print(json.dumps(out))
+    return out
+
+
+def eval_at(model, hyp_path, n=8000, m=512, noise_lb=1e-3):
+    """One oracle NLL evaluation at externally-fitted hyps (full-fit parity
+    pinning: run the TPU CLI, then this at its optimum)."""
+    from gp_tpu.utils.io import read_matrix
+
+    hyp = np.asarray(json.load(open(hyp_path))["hyp"], np.float64)
+    X, y = load(n)
+    if model == "gp":
+        nll, _ = nll_and_grad(hyp, X, y)
+    else:
+        U = read_matrix(os.path.join(REF_DATA, "train_x"))[-m:]
+        nll, _ = sparse_nll_and_grad(model, hyp, X, y, U,
+                                     (0.1 * noise_lb) ** 2)
+    out = {"metric": f"cpu_ref_equiv_{model}_nll_at_hyp_n{n}",
+           "value": float(nll), "unit": "nll"}
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time-eval"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
     if cmd == "time-eval":
-        time_eval(n)
+        time_eval(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
     elif cmd == "train":
-        train(n)
+        train(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
+    elif cmd in ("train-fitc", "train-vfe"):
+        train_sparse(cmd[6:],
+                     int(sys.argv[2]) if len(sys.argv) > 2 else 8000,
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 512)
+    elif cmd == "eval-at":
+        # ref_equiv.py eval-at <gp|fitc|vfe> <hyp_json> [n [m]]
+        eval_at(sys.argv[2], sys.argv[3],
+                int(sys.argv[4]) if len(sys.argv) > 4 else 8000,
+                int(sys.argv[5]) if len(sys.argv) > 5 else 512)
     else:
         raise SystemExit(f"unknown command {cmd}")

@@ -64,7 +64,8 @@ def main(argv=None) -> int:
     train_y = read_matrix("train_y").ravel()
     test_x = read_matrix("test_x")
 
-    num_train = args.num_train or train_x.shape[0]
+    num_train = (train_x.shape[0] if args.num_train is None
+                 else args.num_train)
     if num_train > train_x.shape[0]:
         print(f"Num train > {train_x.shape[0]}", file=sys.stderr)
         return 1
@@ -76,7 +77,8 @@ def main(argv=None) -> int:
     else:
         cls = FITC if args.model == "fitc" else VFE
         model = cls(X, y, kernel=args.kernel, seed=args.seed)
-        num_inducing = args.num_inducing or num_train
+        num_inducing = (num_train if args.num_inducing is None
+                        else args.num_inducing)
         if num_inducing > train_x.shape[0]:
             print(f"Num inducing > {train_x.shape[0]}", file=sys.stderr)
             return 1

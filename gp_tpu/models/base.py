@@ -13,6 +13,8 @@ Noise-free mode removes log sigma_n from the optimization vector
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Callable
 
 import jax
@@ -96,19 +98,6 @@ def hyp_from_std(kernel: KernelSpec, nc: int, hyp, mu: float, sigma: float):
     h[nc] += ls
     h[nc + 1] = h[nc + 1] * sigma + mu
     return h
-
-
-def mixed_precision_fun(fun, compute_dtype):
-    """Wrap an (f, g) objective: optimizer state in float64, objective in
-    the model's compute dtype.  Keeps quasi-Newton curvature pairs exact
-    even when the objective is float32."""
-    f64 = jnp.float64
-
-    def wrapped(v):
-        f, g = fun(v.astype(compute_dtype))
-        return f.astype(f64), g.astype(f64)
-
-    return wrapped
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +353,18 @@ class GPBase:
         if self._noise_free:
             hyps[-2] = -np.inf
 
+        # MYDEBUG parity: the reference runs the analytic-vs-FD gradient
+        # check at every train start under its debug build (GP.cpp:224-229,
+        # FITC.cpp:66-73, VFE.cpp:65-72)
+        from .. import config as _config
+        if _config.DEBUG or os.environ.get("GP_TPU_DEBUG", "0") == "1":
+            g, fd, rel = self.check_gradients(hyps)
+            print(f"[GP_TPU_DEBUG] train-start gradient check: "
+                  f"rel_err={rel:.3e}", file=sys.stderr)
+            if not np.isfinite(rel) or rel > 1e-2:
+                print(f"[GP_TPU_DEBUG]   analytic={g}\n"
+                      f"[GP_TPU_DEBUG]   numeric ={fd}", file=sys.stderr)
+
         nlz = self.nll(hyps)
         if not np.isfinite(nlz):
             hyps = self.select_init_hyp(self._num_hyp * 50, hyps)
@@ -496,6 +497,12 @@ class GPBase:
     def _require_trained(self):
         if not self._trained:
             raise RuntimeError("model is not trained; call train() first")
+        if (self._post is None
+                and getattr(self, "_post_dist", None) is None
+                and getattr(self, "_post_dist_pending", None) is not None):
+            raise RuntimeError(
+                "checkpoint carries a distributed posterior; call "
+                "restore_distributed(mesh) before serving")
 
     def _as_batch(self, xs):
         xs = jnp.asarray(np.asarray(xs, np.float64), self._dtype)

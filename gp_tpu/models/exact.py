@@ -30,7 +30,7 @@ from ..ops.kernels import KernelSpec
 from ..ops.solvers import CHOL, SolverSpec
 from ..optim.lbfgsb import lbfgsb_impl
 from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
-                   mixed_precision_fun, sanitize_value_and_grad, to_opt_vec)
+                   sanitize_value_and_grad, to_opt_vec)
 
 
 # --------------------------------------------------------------------------
@@ -90,11 +90,12 @@ def fit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
         max_evals: int = 160, solver: SolverSpec = CHOL):
     """The full bounded local MLE optimization as one jitted program.
 
-    When vec0 is float64 but the data is float32 (TPU), the optimizer
-    state runs float64 and the objective in the data dtype."""
+    Dtype contract: optimizer state runs in the DATA dtype.  A float64
+    vec0 over float32 data is cast down — mixing f64 curvature state with
+    an f32 objective makes the line search accept steps at the f32 noise
+    floor and poisons the L-BFGS history (measured stall; see DESIGN.md)."""
     fun = lambda v: objective_vg(kernel, noise_free, v, x, y, solver)
-    if vec0.dtype != x.dtype:
-        fun = mixed_precision_fun(fun, x.dtype)
+    vec0, lb, ub = (a.astype(x.dtype) for a in (vec0, lb, ub))
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 
@@ -294,8 +295,13 @@ class GP(GPBase):
             np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
             self._dtype)
 
-        hyp, L, invKys = pgp.pset_k(self.kernel, self._hyps, self._x,
-                                    self._y, mesh, block=block)
+        hyp, L, invKys, ok = pgp.pset_k(self.kernel, self._hyps, self._x,
+                                        self._y, mesh, block=block)
+        if not ok:
+            raise RuntimeError(
+                "distributed posterior factorization failed after noise "
+                "inflation (pgp.pset_k exhausted max_tries); refusing to "
+                "cache a NaN posterior")
         self._hyps = hyp
         self._post = None
         self._post_dist = (mesh, block, L, invKys)
@@ -303,6 +309,28 @@ class GP(GPBase):
         f, _ = pgp.pnll_vg(self.kernel, self._hyps, self._x, self._y, mesh,
                            block=block)
         return float(f)
+
+    def restore_distributed(self, mesh, block=None):
+        """Re-attach a deserialized distributed posterior (utils/checkpoint
+        stores the gathered block-cyclic L + invKys with layout metadata).
+        `mesh` must have the same "rows"-axis device count the factor was
+        computed with; shard_map re-shards the blocks on first use."""
+        from ..parallel.pgp import AXIS
+
+        pending = getattr(self, "_post_dist_pending", None)
+        if pending is None:
+            raise ValueError("no pending distributed posterior to restore")
+        n_dev, blk, L_np, invKys_np = pending
+        if mesh.shape[AXIS] != n_dev:
+            raise ValueError(
+                f"checkpointed posterior is blocked for {n_dev} devices on "
+                f"axis '{AXIS}'; mesh has {mesh.shape[AXIS]}")
+        self._post_dist = (mesh, blk if block is None else block,
+                           jnp.asarray(L_np, self._dtype),
+                           jnp.asarray(invKys_np, self._dtype))
+        self._post_dist_pending = None
+        self._post = None
+        self._trained = True
 
     # -- prediction API (GP.h:104-119) --------------------------------------
 
@@ -419,8 +447,8 @@ def fit_masked(kernel, noise_free, x_pad, y_pad, n_real, vec0, lb, ub,
                max_evals: int = 160, solver: SolverSpec = CHOL):
     fun = lambda v: objective_vg_masked(kernel, noise_free, v, x_pad, y_pad,
                                         n_real, solver)
-    if vec0.dtype != x_pad.dtype:
-        fun = mixed_precision_fun(fun, x_pad.dtype)
+    # dtype contract as fit(): optimizer state in the data dtype
+    vec0, lb, ub = (a.astype(x_pad.dtype) for a in (vec0, lb, ub))
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 

@@ -26,7 +26,7 @@ from ..config import INF
 from ..ops.chol import chol_logdet, chol_ok, chol_solve, cholesky, solve_lower
 from ..ops.kernels import KernelSpec
 from ..optim.lbfgsb import lbfgsb_impl
-from .base import (from_opt_vec, hyp_mean, hyp_sn2, mixed_precision_fun,
+from .base import (from_opt_vec, hyp_mean, hyp_sn2,
                    sanitize_value_and_grad)
 from .sparse import SparseGPBase
 
@@ -92,8 +92,8 @@ def multistart_objective(kernel, noise_free, vec, x, y, u, jitter):
 @partial(jax.jit, static_argnames=("kernel", "noise_free", "max_evals"))
 def fit(kernel, noise_free, x, y, u, jitter, vec0, lb, ub, max_evals=130):
     fun = lambda v: objective_vg(kernel, noise_free, v, x, y, u, jitter)
-    if vec0.dtype != x.dtype:
-        fun = mixed_precision_fun(fun, x.dtype)
+    # dtype contract: optimizer state in the data dtype (see exact.fit)
+    vec0, lb, ub = (a.astype(x.dtype) for a in (vec0, lb, ub))
     return lbfgsb_impl(fun, vec0, lb, ub, max_evals=max_evals)
 
 

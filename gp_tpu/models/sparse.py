@@ -110,12 +110,21 @@ class SparseGPBase(GPBase):
             model, self.kernel, False, self._x, self._ys, self._u,
             jnp.asarray(self._jitter_std, self._dtype), vec0, lb_v, ub_v,
             mesh, max_evals=self._MAX_EVAL)
+        # optimizer diagnostics in ORIGINAL units (mirror GPBase.train /
+        # GP.train_distributed: NLL_orig = NLL_std + N log sigma_y)
+        self.last_opt_result = res._replace(
+            f=res.f + self.num_train * float(np.log(self._y_sigma)))
         self._hyps = jnp.asarray(self._hyp_from_std(np.asarray(res.x)),
                                  self._dtype)
 
         Luu, LA, alpha, jitter, ok = psparse.pset_k_sparse(
             model, self.kernel, self._hyps, self._x, self._y, self._u,
             jnp.asarray(self._jitter_u, self._dtype), mesh)
+        if not bool(np.asarray(ok)):
+            raise RuntimeError(
+                "sparse distributed posterior factorization failed after "
+                "jitter escalation (psparse.pset_k_sparse exhausted "
+                "max_tries); refusing to cache a NaN posterior")
         self._jitter_u = float(jitter)
         self._post = (Luu, LA, alpha)
         self._trained = True

@@ -232,7 +232,10 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
     rescue (GP::_setK, GP.cpp:423-444): while the sharded Cholesky fails,
     log sigma_n += log sqrt(10) (restarting at log eps from -inf).
 
-    Returns (hyp', L_sharded (nbl, P, B, N_pad), invKys (N,) replicated).
+    Returns (hyp', L_sharded (nbl, P, B, N_pad), invKys (N,) replicated,
+    ok).  `ok` is False only when every one of max_tries inflation rounds
+    still produced a failed factorization — in that case L/invKys contain
+    NaN and MUST NOT be cached as a serving posterior.
     """
     n_dev = mesh.shape[AXIS]
     x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
@@ -240,6 +243,7 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
     eps = float(jnp.finfo(x_pad.dtype).eps)
 
     log_sn = float(hyp[-2])
+    ok = False
     for _ in range(max_tries):
         L, ok, invKys = _pfactor_program(
             kernel, hyp.at[-2].set(log_sn), x_pad, y_pad, n, n_dev, block,
@@ -249,7 +253,7 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
         log_sn = (np.log(eps) if np.isinf(log_sn)
                   else log_sn + 0.5 * np.log(10.0))
     hyp = hyp.at[-2].set(log_sn)
-    return hyp, L, invKys[:n]
+    return hyp, L, invKys[:n], bool(ok)
 
 
 @partial(jax.jit, static_argnames=("n_dev", "block", "mesh"))

@@ -24,14 +24,19 @@ _FORMAT_VERSION = 1
 def save_model(model, path: str) -> None:
     """Serialize a (possibly trained) model to `path` (.npz).
 
-    A distributed (sharded) posterior is not serialized: the checkpoint
-    downgrades to untrained-with-hyps and warns — re-run
-    train_distributed (or _update_posterior) after loading."""
+    A distributed (sharded) posterior IS serialized (SURVEY.md:416-418 —
+    refitting is O(N^3), most expensive exactly in the distributed
+    regime): the block-cyclic factor L (nbl, P, B, N_pad) is gathered to
+    host and stored with its layout metadata (n_dev, block).  `load_model`
+    leaves it pending; call ``model.restore_distributed(mesh)`` with a
+    mesh whose "rows" axis has the same device count to re-attach it
+    (shard_map re-shards the blocks onto the mesh on first use)."""
     import warnings
 
     trained = model._trained
-    if trained and model._post is None:
-        warnings.warn("distributed posterior is not serialized; the "
+    dist = getattr(model, "_post_dist", None)
+    if trained and model._post is None and dist is None:
+        warnings.warn("trained model has no posterior cache; the "
                       "checkpoint stores hyperparameters only — refit or "
                       "recompute the posterior after loading")
         trained = False
@@ -39,6 +44,10 @@ def save_model(model, path: str) -> None:
         "x": np.asarray(model._x),
         "y": np.asarray(model._y),
     }
+    if trained and dist is not None:
+        mesh_d, block_d, L_d, invKys_d = dist
+        arrays["dist_L"] = np.asarray(L_d)
+        arrays["dist_invKys"] = np.asarray(invKys_d)
     meta = {
         "format_version": _FORMAT_VERSION,
         "model": type(model).__name__,
@@ -50,6 +59,10 @@ def save_model(model, path: str) -> None:
         "fixhyps": model._fixhyps,
         "trained": trained,
     }
+    if trained and dist is not None:
+        from ..parallel.pgp import AXIS
+        meta["dist_n_dev"] = int(dist[0].shape[AXIS])
+        meta["dist_block"] = int(dist[1])
     if hasattr(model, "_bucket"):
         meta["bucket"] = int(model._bucket)
     if model._hyps is not None:
@@ -99,6 +112,11 @@ def load_model(path: str):
             model._post = tuple(
                 jnp.asarray(z[f"post_{i}"], dt)
                 for i in range(meta["num_post"]))
+            model._trained = True
+        if meta["trained"] and "dist_n_dev" in meta:
+            model._post_dist_pending = (
+                meta["dist_n_dev"], meta["dist_block"],
+                np.asarray(z["dist_L"]), np.asarray(z["dist_invKys"]))
             model._trained = True
         model._key = jnp.asarray(z["key"], jnp.uint32)
     return model

@@ -83,17 +83,27 @@ def test_roundtrip_bucketed(tmp_path, toy_problem):
     np.testing.assert_array_equal(s22, s2)
 
 
-def test_distributed_posterior_degrades_with_warning(tmp_path, toy_problem):
-    import warnings
+def test_distributed_posterior_roundtrip(tmp_path, toy_problem):
+    """Sharded posterior -> .npz -> restore_distributed on a fresh mesh:
+    identical predictions, no refactorization (SURVEY.md:416-418)."""
     from gp_tpu.parallel.mesh import make_mesh
-    X, y, _, _ = toy_problem
+    X, y, Xs, _ = toy_problem
     m = GP(X, y)
     m.train_distributed(make_mesh(8, "rows"), block=4)
+    mu, s2 = m.batch_predict(Xs)
+
     p = str(tmp_path / "d.npz")
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        m.save(p)
-    assert any("distributed posterior" in str(x.message) for x in w)
+    m.save(p)
     m2 = GP.load(p)
-    assert not m2.trained
-    assert m2.get_hyp() is not None       # hyps survived
+    assert m2.trained
+    # serving before restore_distributed: informative error, not a crash
+    with pytest.raises(RuntimeError, match="restore_distributed"):
+        m2.batch_predict(Xs)
+    m2.restore_distributed(make_mesh(8, "rows"))
+    mu2, s22 = m2.batch_predict(Xs)
+    np.testing.assert_allclose(mu2, mu, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(s22, s2, rtol=1e-10, atol=1e-12)
+    # wrong mesh size is rejected
+    m3 = GP.load(p)
+    with pytest.raises(ValueError, match="8 devices"):
+        m3.restore_distributed(make_mesh(4, "rows"))

@@ -79,7 +79,8 @@ def test_pset_k_and_ppredict(mesh, prob):
     hyp_ref, L_ref, invKys_ref = exact.set_k(SE_ARD, hyp, x, y)
     mu_ref, s2_ref = exact.predict(SE_ARD, hyp_ref, x, L_ref, invKys_ref, xs)
 
-    hyp_d, L, invKys = pgp.pset_k(SE_ARD, hyp, x, y, mesh, block=4)
+    hyp_d, L, invKys, ok = pgp.pset_k(SE_ARD, hyp, x, y, mesh, block=4)
+    assert ok
     np.testing.assert_allclose(np.asarray(hyp_d), np.asarray(hyp_ref),
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(invKys), np.asarray(invKys_ref),
@@ -98,8 +99,9 @@ def test_pset_k_noise_inflation(mesh):
     x, y = jnp.asarray(X), jnp.asarray(y)
     hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
     hyp[-2] = np.log(1e-12)                    # absurdly small noise
-    hyp_d, L, invKys = pgp.pset_k(SE_ARD, jnp.asarray(hyp), x, y, mesh,
-                                  block=4)
+    hyp_d, L, invKys, ok = pgp.pset_k(SE_ARD, jnp.asarray(hyp), x, y, mesh,
+                                      block=4)
+    assert ok
     assert np.all(np.isfinite(np.asarray(invKys)))
     assert float(hyp_d[-2]) > np.log(1e-12)    # noise was inflated
 
