@@ -293,7 +293,8 @@ def train_sparse(model, n=8000, m=512, max_eval=None, noise_lb=1e-3):
     t0 = time.perf_counter()
     res = minimize(lambda h: sparse_nll_and_grad(model, h, X, y, U, jitter),
                    np.clip(hyp0, lb, ub), jac=True, method="L-BFGS-B",
-                   bounds=bounds, options={"maxfun": max_eval})
+                   bounds=bounds,
+                   options={"maxfun": max_eval, "ftol": 1e-12, "gtol": 1e-8})
     dt = time.perf_counter() - t0
     nll_default, _ = sparse_nll_and_grad(model, np.clip(hyp0, lb, ub),
                                          X, y, U, jitter)

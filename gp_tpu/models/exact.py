@@ -64,9 +64,61 @@ def nll(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
     return jnp.where(jnp.isfinite(v), v, INF)
 
 
+def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
+    """NLL + analytic hyperparameter gradient via the explicit inverse
+    (GP::_calcNegLogProb with gradients, GP.cpp:120-176):
+
+        Q = K^-1 - alpha alpha^T
+        g_cov_i = 0.5 sum(Q o dK/dtheta_i)   (one vjp of the K builder)
+        g_noise = sn2 tr(Q);  g_mean = -sum(alpha)
+
+    The reference computes `inverse()` per evaluation (GP.cpp:154); here
+    K^-1 comes from the GEMM-rich blocked tri-inversion
+    (ops/blocked.spd_inv_from_chol), which on TPU beats reverse-mode AD
+    through the factorization (AD backward measured at 2.7x the forward).
+    NaN/inf propagate (caller sanitizes).  Cholesky-only.
+    """
+    from ..ops.blocked import spd_inv_from_chol
+    from ..ops.chol import chol_logdet, chol_solve, cholesky
+
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    mean = hyp_mean(hyp)
+    n = x.shape[0]
+
+    build = lambda c: kernel.k(c, x, x)
+    K0, k_vjp = jax.vjp(build, chyp)
+    L = cholesky(K0 + sn2 * jnp.eye(n, dtype=x.dtype))
+    r = y - mean
+    alpha = chol_solve(L, r)
+    nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
+           + 0.5 * n * jnp.log(2 * jnp.pi))
+
+    Kinv = spd_inv_from_chol(L)
+    Q = Kinv - alpha[:, None] * alpha[None, :]
+    g_cov = 0.5 * k_vjp(Q)[0]
+    g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
+    g_mean = -jnp.sum(alpha)
+    grad = jnp.concatenate(
+        [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
+    return nll, grad
+
+
 def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y,
                  solver: SolverSpec = CHOL):
-    """(value, grad) over the optimization vector, INF-sanitized."""
+    """(value, grad) over the optimization vector, INF-sanitized.
+
+    The Cholesky solver uses the analytic gradient (nll_vg_raw); QR falls
+    back to reverse-mode AD of nll_raw (the reference's QR drivers get the
+    same analytic formulas, but Q = K^-1 - aa^T via QR is not cheaper than
+    AD here and QR is the rarely-used strategy).
+    """
+    if solver.name == "chol":
+        hyp = from_opt_vec(vec, noise_free)
+        f, g_hyp = nll_vg_raw(kernel, hyp, x, y)
+        g = to_opt_vec(g_hyp, noise_free)
+        return sanitize_value_and_grad(f, g)
     f, g = jax.value_and_grad(
         lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y, solver)
     )(vec)
@@ -433,8 +485,48 @@ def nll_raw_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_real,
             + 0.5 * n_real * jnp.log(2 * jnp.pi))
 
 
+def nll_vg_raw_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_real):
+    """Masked-capacity analog of nll_vg_raw (analytic gradient via the
+    explicit inverse).  Padded rows/cols are identity constants in the
+    builder (zero cotangent under vjp); their K^-1 block is also the
+    identity, so tr(Q) subtracts the pad count."""
+    from ..ops.blocked import spd_inv_from_chol
+    from ..ops.chol import chol_logdet, chol_solve, cholesky
+
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    n_cap = x_pad.shape[0]
+    ids = jnp.arange(n_cap)
+    real = ids < n_real
+
+    build = lambda c: _masked_k(kernel, c, x_pad, n_real)
+    K0, k_vjp = jax.vjp(build, chyp)
+    K = K0 + jnp.where(real, sn2, 0.0) * jnp.eye(n_cap, dtype=x_pad.dtype)
+    L = cholesky(K)
+    r = jnp.where(real, y_pad - hyp_mean(hyp), 0.0)
+    alpha = chol_solve(L, r)
+    nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
+           + 0.5 * n_real * jnp.log(2 * jnp.pi))
+
+    Kinv = spd_inv_from_chol(L)
+    Q = Kinv - alpha[:, None] * alpha[None, :]
+    g_cov = 0.5 * k_vjp(Q)[0]
+    # pad diagonal of K^-1 is exactly 1 per pad row; subtract it from tr
+    tr_real = jnp.trace(Kinv) - (n_cap - n_real) - jnp.dot(alpha, alpha)
+    g_sn = sn2 * tr_real
+    g_mean = -jnp.sum(alpha)
+    grad = jnp.concatenate(
+        [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
+    return nll, grad
+
+
 def objective_vg_masked(kernel, noise_free, vec, x_pad, y_pad, n_real,
                         solver: SolverSpec = CHOL):
+    if solver.name == "chol":
+        hyp = from_opt_vec(vec, noise_free)
+        f, g_hyp = nll_vg_raw_masked(kernel, hyp, x_pad, y_pad, n_real)
+        return sanitize_value_and_grad(f, to_opt_vec(g_hyp, noise_free))
     f, g = jax.value_and_grad(
         lambda v: nll_raw_masked(kernel, from_opt_vec(v, noise_free), x_pad,
                                  y_pad, n_real, solver))(vec)

@@ -119,3 +119,79 @@ def blocked_solve_lower_t(L, B, block: int = 1024):
 def blocked_chol_solve(L, B, block: int = 1024):
     """Solve (L L^T) X = B via the two blocked sweeps."""
     return blocked_solve_lower_t(L, blocked_solve_lower(L, B, block), block)
+
+
+def tri_inv(L, base: int = 256):
+    """Inverse of a lower-triangular L, MXU-blocked.
+
+    All diagonal base-blocks invert in ONE batched (vmapped) triangular
+    solve; the off-diagonal fill is a recursive merge of pure GEMMs
+    (T = [[T1, 0], [-T2 L21 T1, T2]]), so ~all of the N^3/3 FLOPs land on
+    the MXU.  This is the TPU replacement for the latency-bound
+    column-sweep TRSM (measured: solve_triangular with N rhs is the
+    dominant non-MXU phase of the blocked Cholesky pipeline).
+    """
+    n = L.shape[0]
+    if n <= base:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    if n % base:
+        # pad to blockdiag(L, I); its inverse is blockdiag(L^-1, I)
+        p = base - n % base
+        Lp = jnp.zeros((n + p, n + p), L.dtype)
+        Lp = Lp.at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
+        return tri_inv(Lp, base)[:n, :n]
+
+    nb = n // base
+    idx = jnp.arange(nb)
+    dblocks = L.reshape(nb, base, nb, base)[idx, :, idx, :]   # (nb, b, b)
+    eye = jnp.eye(base, dtype=L.dtype)
+    import jax
+    Td = jax.vmap(
+        lambda Lb: solve_triangular(Lb, eye, lower=True))(dblocks)
+
+    def merge(lo, hi):
+        if hi - lo == 1:
+            return Td[lo]
+        mid = (lo + hi) // 2
+        T1 = merge(lo, mid)
+        T2 = merge(mid, hi)
+        L21 = L[mid * base:hi * base, lo * base:mid * base]
+        T21 = -(T2 @ (L21 @ T1))
+        m1, m2 = T1.shape[0], T2.shape[0]
+        out = jnp.zeros((m1 + m2, m1 + m2), L.dtype)
+        out = out.at[:m1, :m1].set(T1)
+        out = out.at[m1:, m1:].set(T2)
+        out = out.at[m1:, :m1].set(T21)
+        return out
+
+    return merge(0, nb)
+
+
+def spd_inv_from_chol(L, block: int = 1024, base: int = 256):
+    """K^-1 from K = L L^T as T^T T with T = L^-1 (GEMM-rich dpotri analog).
+
+    The column sweep exploits T's triangularity: column block J starting at
+    row c0 only contracts rows >= c0, so the total GEMM work is ~N^3
+    instead of the dense 2 N^3.  Replaces `chol_solve(L, I)` (two
+    latency-bound triangular sweeps with N right-hand sides) in the
+    analytic-gradient path (GP.cpp:154: `inverse()`).
+    """
+    n = L.shape[0]
+    if n < block:
+        T = tri_inv(L, base)
+        return T.T @ T
+    if n % block:
+        # blockdiag(L, I): its K^-1 is blockdiag(K^-1, I) — slice back
+        p = block - n % block
+        Lp = jnp.zeros((n + p, n + p), L.dtype)
+        Lp = Lp.at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
+        return spd_inv_from_chol(Lp, block, base)[:n, :n]
+    T = tri_inv(L, base)
+    nb = n // block
+    cols = []
+    for j in range(nb):
+        c0 = j * block
+        cols.append(T[c0:, :].T @ T[c0:, c0:c0 + block])
+    return jnp.concatenate(cols, axis=1)

@@ -1,0 +1,138 @@
+"""Multi-host (multi-process) runtime.
+
+The reference is a single-threaded library (SURVEY.md "Parallelism &
+distributed communication": none).  The TPU build's pod-scale story
+(SURVEY.md:270-278) needs every process of a multi-host slice to
+participate in one global mesh:
+
+  * `initialize()` wraps jax.distributed.initialize (coordinator
+    rendezvous) — call it first in every process of the job.
+  * `global_mesh()` builds a Mesh over ALL processes' devices
+    (jax.devices() is global after initialization).
+  * `pnll_vg` / `pfit` / `pset_k` mirror parallel/pgp's single-process
+    entry points but convert host-local inputs to global (replicated)
+    arrays first, so the same shard_map programs run unchanged across
+    process boundaries — rows ride ICI inside a host, DCN between hosts,
+    all through XLA collectives.
+
+Tested with multiple CPU processes (tests/test_multihost.py spawns two
+4-device processes and checks bitwise agreement with the single-process
+path); on a real pod slice the same code runs with the TPU backend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.kernels import KernelSpec
+from . import pgp
+from .mesh import make_mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None,
+               local_device_ids=None) -> None:
+    """Join (or create) the distributed job.
+
+    With no arguments, jax auto-detects cluster environments (TPU pods,
+    GKE, Slurm, ...); pass explicit values elsewhere.  Must run before any
+    other jax call in the process.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def global_mesh(n_devices: int | None = None,
+                axis_name: str = "rows") -> Mesh:
+    """1-D mesh over all processes' devices (global view)."""
+    return make_mesh(n_devices, axis_name=axis_name, devices=jax.devices())
+
+
+def replicate(arr, mesh: Mesh):
+    """Host-local array (same value on every process) -> global replicated
+    jax.Array on `mesh`.  No-op in single-process jobs."""
+    if not is_multiprocess():
+        return jnp.asarray(arr)
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(arr), mesh, P())
+
+
+def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256):
+    """Multi-host distributed (NLL, grad) — pgp.pnll_vg semantics.
+
+    Every process must pass the SAME x/y/hyp (data-replicated input,
+    matrix-sharded compute)."""
+    n_dev = mesh.shape[pgp.AXIS]
+    x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
+                                  jnp.asarray(np.asarray(y)), n_dev, block)
+    hyp = replicate(np.asarray(hyp, np.asarray(x_pad).dtype), mesh)
+    x_g = replicate(x_pad, mesh)
+    y_g = replicate(y_pad, mesh)
+    f, g = pgp._pnll_program(kernel, hyp, x_g, y_g, n, n_dev, block, mesh)
+    return pgp.sanitize_value_and_grad(f, g)
+
+
+def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+         mesh: Mesh, block: int = 256, max_evals: int = 160):
+    """Multi-host distributed bounded MLE fit — pgp.pfit semantics
+    (pass standardized targets at float32; see pgp.pfit)."""
+    n_dev = mesh.shape[pgp.AXIS]
+    x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
+                                  jnp.asarray(np.asarray(y)), n_dev, block)
+    dt = np.asarray(x_pad).dtype
+    out = pgp._pfit_program(
+        kernel, noise_free,
+        replicate(np.asarray(vec0, dt), mesh),
+        replicate(np.asarray(lb, dt), mesh),
+        replicate(np.asarray(ub, dt), mesh),
+        replicate(x_pad, mesh), replicate(y_pad, mesh),
+        n, n_dev, block, max_evals, mesh)
+    from ..optim.lbfgsb import LBFGSBResult
+    return LBFGSBResult(*out)
+
+
+def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
+           max_tries: int = 32):
+    """Multi-host posterior cache with the noise-inflation rescue
+    (pgp.pset_k semantics).  Returns (hyp', L_sharded, invKys, ok)."""
+    n_dev = mesh.shape[pgp.AXIS]
+    x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
+                                  jnp.asarray(np.asarray(y)), n_dev, block)
+    dt = np.asarray(x_pad).dtype
+    hyp = np.asarray(hyp, dt)
+    x_g = replicate(x_pad, mesh)
+    y_g = replicate(y_pad, mesh)
+    eps = float(np.finfo(dt).eps)
+
+    log_sn = float(hyp[-2])
+    ok = False
+    for _ in range(max_tries):
+        h = hyp.copy()
+        h[-2] = log_sn
+        L, ok_arr, invKys = pgp._pfactor_program(
+            kernel, replicate(h, mesh), x_g, y_g, n, n_dev, block, mesh)
+        ok = bool(np.asarray(ok_arr))
+        if ok:
+            break
+        log_sn = (np.log(eps) if np.isinf(log_sn)
+                  else log_sn + 0.5 * np.log(10.0))
+    hyp = hyp.copy()
+    hyp[-2] = log_sn
+    return jnp.asarray(hyp), L, invKys[:n], ok

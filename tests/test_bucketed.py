@@ -29,7 +29,10 @@ def test_matches_plain_gp(prob):
     np.testing.assert_allclose(s22, s21, rtol=1e-6, atol=1e-9)
     y1, g1 = plain.batch_predict_y_with_grad(Xs[:3])
     y2, g2 = buck.batch_predict_y_with_grad(Xs[:3])
-    np.testing.assert_allclose(g2, g1, rtol=1e-6, atol=1e-9)
+    # atol 1e-8: the two models optimize over different matrix sizes
+    # (padded vs not), so their optima agree only to ~f64-accumulation
+    # noise; tiny gradient elements (~3e-3) then differ at the 5e-9 level
+    np.testing.assert_allclose(g2, g1, rtol=1e-6, atol=1e-8)
     s2a, gs1 = plain.batch_predict_s2_with_grad(Xs[:2])
     s2b, gs2 = buck.batch_predict_s2_with_grad(Xs[:2])
     np.testing.assert_allclose(gs2, gs1, rtol=1e-5, atol=1e-8)

@@ -1,0 +1,123 @@
+"""Multi-host runtime: 2 CPU processes x 4 virtual devices = one global
+8-device mesh; the distributed NLL+gradient and fit must agree with the
+single-process 8-device path (same data, same blocking).
+
+This is the CI-able stand-in for a multi-host TPU slice (SURVEY.md:270-278,
+BASELINE 1->2 host scaling): jax.distributed.initialize + global mesh +
+the pgp shard_map programs crossing a process boundary over the
+coordination service.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import sys, os, json
+pid, nprocs, addr, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=addr, num_processes=nprocs,
+                           process_id=pid)
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+sys.path.insert(0, "@REPO@")
+from gp_tpu import SE_ARD
+from gp_tpu.models.base import default_hyps
+from gp_tpu.parallel import multihost
+
+assert jax.process_count() == nprocs, jax.process_count()
+assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+
+rng = np.random.default_rng(0)
+x = rng.uniform(-3, 3, (64, 3))
+y = np.sin(x[:, 0]) + 0.5 * np.cos(2 * x[:, 1])
+hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
+
+mesh = multihost.global_mesh(axis_name="rows")
+f, g = multihost.pnll_vg(SE_ARD, hyp, x, y, mesh, block=4)
+
+from gp_tpu.models.base import hyp_range, to_opt_vec
+lb, ub = hyp_range(SE_ARD, x, y, 1e-3)
+res = multihost.pfit(SE_ARD, False, x, y,
+                     np.clip(hyp, lb, ub), lb, ub, mesh, block=4,
+                     max_evals=12)
+
+hyp_k, L, invKys, ok = multihost.pset_k(SE_ARD, hyp, x, y, mesh, block=4)
+
+if pid == 0:
+    json.dump({"f": float(f), "g": np.asarray(g).tolist(),
+               "fit_f": float(res.f), "fit_x": np.asarray(res.x).tolist(),
+               "ok": bool(ok),
+               "invKys": np.asarray(invKys).tolist()}, open(out, "w"))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.replace("@REPO@", REPO))
+    out = tmp_path / "result.json"
+    addr = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4")
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = f"{REPO}:{pp}" if pp else REPO
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", addr, str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    for p in procs:
+        so, se = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{se[-3000:]}"
+    result = json.load(open(out))
+
+    # single-process reference on the in-test 8-device mesh, same data
+    import jax.numpy as jnp
+    from gp_tpu import SE_ARD
+    from gp_tpu.models.base import default_hyps, hyp_range
+    from gp_tpu.parallel import pgp
+    from gp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-3, 3, (64, 3))
+    y = np.sin(x[:, 0]) + 0.5 * np.cos(2 * x[:, 1])
+    hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
+    mesh = make_mesh(8, "rows")
+
+    f, g = pgp.pnll_vg(SE_ARD, jnp.asarray(hyp), x, y, mesh, block=4)
+    np.testing.assert_allclose(result["f"], float(f), rtol=1e-12)
+    np.testing.assert_allclose(result["g"], np.asarray(g), rtol=1e-9,
+                               atol=1e-12)
+
+    lb, ub = hyp_range(SE_ARD, x, y, 1e-3)
+    res = pgp.pfit(SE_ARD, False, x, y, jnp.asarray(np.clip(hyp, lb, ub)),
+                   jnp.asarray(lb), jnp.asarray(ub), mesh, block=4,
+                   max_evals=12)
+    np.testing.assert_allclose(result["fit_f"], float(res.f), rtol=1e-10)
+    np.testing.assert_allclose(result["fit_x"], np.asarray(res.x),
+                               rtol=1e-8, atol=1e-10)
+
+    assert result["ok"]
+    hyp_k, L, invKys, ok = pgp.pset_k(SE_ARD, jnp.asarray(hyp), x, y, mesh,
+                                      block=4)
+    assert ok
+    np.testing.assert_allclose(result["invKys"], np.asarray(invKys),
+                               rtol=1e-9, atol=1e-12)
