@@ -9,6 +9,13 @@ suite records the fuller picture on the current backend:
   * batched posterior prediction throughput (points/s)
   * FITC NLL+grad evals/s at N=8000, M=512
 
+Measurement discipline (benchmarks/README.md): every rep gets a DISTINCT
+input (this image's execution-replay layer makes repeated (program, input)
+pairs appear to cost microseconds), every program returns a SCALAR that is
+fetched to host inside the timed region (block_until_ready alone has
+returned early for large remote outputs), and the per-call dispatch floor
+— measured with a trivial program — is subtracted.
+
 Usage:  python benchmarks/bench_suite.py [--n 8000] [--quick]
 """
 
@@ -25,15 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _bench(fn, *args, reps=10):
-    import jax
-    o = fn(*args)
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o = fn(*args)
-    jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / reps
+def _bench(fn, inputs, disp=0.0):
+    """Median s/call over distinct inputs; fn returns a scalar (fetched)."""
+    acc = float(np.asarray(fn(*inputs[0])))          # warm / compile
+    ts = []
+    for args in inputs[1:]:
+        t0 = time.perf_counter()
+        acc += float(np.asarray(fn(*args)))
+        ts.append(time.perf_counter() - t0)
+    assert np.isfinite(acc), "benchmark produced non-finite values"
+    return max(float(np.median(ts)) - disp, 1e-9)
 
 
 def emit(**kw):
@@ -55,7 +63,7 @@ def main():
     from gp_tpu.utils.io import read_matrix
     import gp_tpu.config as config
 
-    reps = 3 if args.quick else 10
+    reps = 4 if args.quick else 10
     backend = jax.default_backend()
     dt = config.default_dtype()
 
@@ -68,22 +76,38 @@ def main():
     hyp = jnp.asarray(default_hyps(SE_ARD, X, y, 1e-3, False), dt)
     n, d = X.shape
 
-    # 1. fused NLL + gradient
-    vg = jax.jit(lambda h: exact.objective_vg(SE_ARD, False, h, x_d, y_d))
-    t = _bench(vg, hyp, reps=reps)
-    emit(metric=f"exact_nll_grad_evals_per_s_n{n}", value=round(1 / t, 3),
-         unit="evals/s", backend=backend)
+    rng = np.random.default_rng(0)
+    hyps = [hyp + jnp.asarray(0.01 * rng.standard_normal(hyp.shape), dt)
+            for _ in range(reps + 1)]
 
-    # 2. Cholesky GFLOP/s at 8192
+    # dispatch floor
+    triv = jax.jit(lambda c: jnp.sum(c + 1.0))
+    disp = _bench(triv, [(jnp.asarray(float(i), dt),)
+                         for i in range(reps + 1)])
+    emit(metric="dispatch_floor_ms", value=round(disp * 1e3, 2), unit="ms",
+         backend=backend)
+
+    # 1. fused NLL + gradient (scalar: f + sum g)
+    vg = jax.jit(lambda h: (lambda fg: fg[0] + jnp.sum(fg[1]))(
+        exact.objective_vg(SE_ARD, False, h, x_d, y_d)))
+    t = _bench(vg, [(h,) for h in hyps], disp)
+    emit(metric=f"exact_nll_grad_evals_per_s_n{n}", value=round(1 / t, 3),
+         unit="evals/s", ms_per_eval=round(t * 1e3, 1), backend=backend)
+
+    # 2. Cholesky GFLOP/s at 8192 (distinct diagonal shifts)
     m = 8192
     A = jax.random.normal(jax.random.PRNGKey(0), (m, m), dt)
-    K = A @ A.T + m * jnp.eye(m, dtype=dt)
+    K = jax.jit(lambda a: a @ a.T / m + 2.0 * jnp.eye(m, dtype=dt))(A)
+    jax.block_until_ready(K)
     from gp_tpu.ops.chol import cholesky
-    t = _bench(jax.jit(cholesky), K, reps=reps)
+    ch = jax.jit(lambda Km, c: jnp.sum(cholesky(
+        Km + c * jnp.eye(m, dtype=dt))))
+    shifts = [jnp.asarray(0.5 + 0.01 * i, dt) for i in range(reps + 1)]
+    t = _bench(ch, [(K, c) for c in shifts], disp)
     emit(metric="cholesky_gflops_n8192", value=round(m**3 / 3 / t / 1e9, 1),
          unit="GFLOP/s", wall_ms=round(t * 1e3, 2), backend=backend)
 
-    # 3. full train (the `gp 8000` pipeline)
+    # 3. full train (the `gp 8000` pipeline; one-shot wall clock)
     from gp_tpu import GP
     gp = GP(X, y)
     t0 = time.perf_counter()
@@ -93,21 +117,31 @@ def main():
          unit="s (incl. compile)", final_nll=round(float(nll), 3),
          backend=backend)
 
-    # 4. prediction throughput
-    pred = lambda xs: gp.batch_predict(xs)
-    t = _bench(pred, Xs, reps=reps)
+    # 4. prediction throughput (distinct test batches: scaled copies)
+    T = Xs.shape[0]
+    hyp_t = jnp.asarray(gp.get_hyp(), dt)
+    pr = jax.jit(lambda xs: (lambda ms: jnp.sum(ms[0]) + jnp.sum(ms[1]))(
+        exact.predict.__wrapped__(SE_ARD, hyp_t, x_d,
+                                  gp._factors(), gp._post[-1], xs)))
+    t = _bench(pr, [(xs_d * (1.0 + 0.001 * i),) for i in range(reps + 1)],
+               disp)
     emit(metric=f"batch_predict_points_per_s_n{n}",
-         value=round(Xs.shape[0] / t, 1), unit="points/s", backend=backend)
+         value=round(T / t, 1), unit="points/s", batch=T, backend=backend)
 
-    # 5. FITC objective throughput (N x M panels)
+    # 5. FITC objective throughput (N x M panels; f64 sparse default)
     M = 512
-    u_d = x_d[-M:]
-    jit_u = jnp.asarray((0.1 * 1e-3) ** 2, dt)
-    fvg = jax.jit(lambda h: fitc.objective_vg(SE_ARD, False, h, x_d, y_d,
-                                              u_d, jit_u))
-    t = _bench(fvg, hyp, reps=reps)
+    from gp_tpu.config import x64_enabled
+    sdt = jnp.float64 if x64_enabled() else dt   # sparse models' default
+    xs_f = jnp.asarray(X, sdt)
+    ys_f = jnp.asarray(y, sdt)
+    u_d = jnp.asarray(read_matrix(os.path.join(ref, "train_x"))[-M:], sdt)
+    jit_u = jnp.asarray((0.1 * 1e-3) ** 2, sdt)
+    fvg = jax.jit(lambda h: (lambda fg: fg[0] + jnp.sum(fg[1]))(
+        fitc.objective_vg(SE_ARD, False, h, xs_f, ys_f, u_d, jit_u)))
+    t = _bench(fvg, [(jnp.asarray(h, sdt),) for h in hyps], disp)
     emit(metric=f"fitc_nll_grad_evals_per_s_n{n}_m{M}",
-         value=round(1 / t, 3), unit="evals/s", backend=backend)
+         value=round(1 / t, 3), unit="evals/s",
+         dtype=jnp.dtype(sdt).name, backend=backend)
 
 
 if __name__ == "__main__":

@@ -91,14 +91,66 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     K0, k_vjp = jax.vjp(build, chyp)
     L = cholesky(K0 + sn2 * jnp.eye(n, dtype=x.dtype))
     r = y - mean
+    Kinv = spd_inv_from_chol(L)
+    # alpha from the (already needed) explicit inverse: one O(N^2) matvec
+    # replaces the two blocked triangular sweeps of chol_solve
+    alpha = Kinv @ r
+    nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
+           + 0.5 * n * jnp.log(2 * jnp.pi))
+    Q = Kinv - alpha[:, None] * alpha[None, :]
+    g_cov = 0.5 * k_vjp(Q)[0]
+    g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
+    g_mean = -jnp.sum(alpha)
+    grad = jnp.concatenate(
+        [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
+    return nll, grad
+
+
+def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
+    """Memory-streamed analytic NLL+gradient for single-chip N beyond the
+    K^-1-materializing path (nll_vg_raw needs ~4 N^2 buffers; this needs
+    ~2: K/L plus one (N, tile) work panel).
+
+    Per column tile I of K^-1 (obtained as chol_solve(L, E_I), never the
+    full inverse), the cotangent rows Q_I = Kinv_I^T - alpha_I alpha^T are
+    contracted IMMEDIATELY against a per-tile rebuild of the kernel rows
+    k(x_I, x) via vjp — recomputing kernel tiles costs O(N^2 d) flops
+    total, nothing at the O(N^3) scale.  This is the out-of-core analog of
+    GP.cpp:151-163's Q-contraction for the regime where the full-gradient
+    working set exceeds HBM (BASELINE N=50k config: K alone is 10 GB f32
+    on a 16 GB v5e).
+    """
+    from ..ops.chol import chol_logdet, chol_solve, cholesky
+
+    n, d = x.shape
+    nc = kernel.num_hyp(d)
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    mean = hyp_mean(hyp)
+
+    K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
+    L = cholesky(K)
+    r = y - mean
     alpha = chol_solve(L, r)
     nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
            + 0.5 * n * jnp.log(2 * jnp.pi))
 
-    Kinv = spd_inv_from_chol(L)
-    Q = Kinv - alpha[:, None] * alpha[None, :]
-    g_cov = 0.5 * k_vjp(Q)[0]
-    g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
+    g_cov = jnp.zeros((nc,), x.dtype)
+    tr_Kinv = jnp.zeros((), x.dtype)
+    eye_t = jnp.eye(n, tile, dtype=x.dtype)       # (n, tile), ones at rows 0..
+    for j in range(0, n, tile):
+        b = min(tile, n - j)
+        E = jnp.roll(eye_t[:, :b], j, axis=0)      # identity columns j..j+b
+        KinvI = chol_solve(L, E)                   # (n, b): columns of K^-1
+        x_I = jax.lax.slice_in_dim(x, j, j + b)
+        a_I = jax.lax.slice_in_dim(alpha, j, j + b)
+        Q_I = KinvI.T - a_I[:, None] * alpha[None, :]
+        _, k_vjp = jax.vjp(lambda c: kernel.k(c, x_I, x), chyp)
+        g_cov = g_cov + 0.5 * k_vjp(Q_I)[0]
+        tr_Kinv = tr_Kinv + jnp.sum(
+            jax.lax.slice_in_dim(KinvI, j, j + b, axis=0)
+            * jnp.eye(b, dtype=x.dtype))
+    g_sn = sn2 * (tr_Kinv - jnp.dot(alpha, alpha))
     g_mean = -jnp.sum(alpha)
     grad = jnp.concatenate(
         [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
@@ -312,7 +364,7 @@ class GP(GPBase):
         return tuple(self._post[:-1])
 
     # -- distributed training / serving (parallel/pgp.py) -------------------
-    def train_distributed(self, mesh, block: int = 256,
+    def train_distributed(self, mesh, block: int | None = None,
                           init_hyps=None) -> float:
         """MLE fit with the N x N kernel matrix block-cyclic over mesh
         axis "rows": distributed blocked Cholesky + analytic psum gradient
@@ -336,6 +388,9 @@ class GP(GPBase):
             np.asarray(to_opt_vec(jnp.asarray(hyps_std), self._noise_free)),
             lb_v, ub_v)
 
+        from ..parallel.pchol import auto_block
+        if block is None:
+            block = auto_block(self.num_train, mesh.shape["rows"])
         res = pgp.pfit(self.kernel, self._noise_free, self._x, self._ys,
                        jnp.asarray(vec0, self._dtype),
                        jnp.asarray(lb_v, self._dtype),

@@ -161,12 +161,25 @@ KERNELS = {"se_ard": SE_ARD, "se_iso": SE_ISO}
 
 def _register_pallas_variants():
     """Fused Pallas builds of the same covariances (ops/pallas_kernels.py):
-    identical contract and hyp packing, single-pass K construction on TPU."""
+    identical contract and hyp packing, single-pass K construction on TPU.
+
+    On TPU the fused build IS the default for large shapes: a plain-XLA
+    SE-ARD K at N=8000 costs ~15.8 ms (sqdist materialization + separate
+    exp pass, both HBM-bound) vs one fused tile pass; the custom VJP
+    replaces AD-of-sqdist with closed-form cotangent matmuls.  Off TPU or
+    below the tile threshold the pallas wrappers fall back to the plain
+    formula, so the default is safe everywhere (and vmap-safe for the
+    per-point gradient APIs)."""
+    global SE_ARD, SE_ISO
     from .pallas_kernels import seard_k_pallas, seiso_k_pallas
-    KERNELS["se_ard_pallas"] = SE_ARD._replace(name="se_ard_pallas",
-                                               k=seard_k_pallas)
-    KERNELS["se_iso_pallas"] = SE_ISO._replace(name="se_iso_pallas",
-                                               k=seiso_k_pallas)
+    KERNELS["se_ard_xla"] = SE_ARD._replace(name="se_ard_xla")
+    KERNELS["se_iso_xla"] = SE_ISO._replace(name="se_iso_xla")
+    SE_ARD = SE_ARD._replace(k=seard_k_pallas)
+    SE_ISO = SE_ISO._replace(k=seiso_k_pallas)
+    KERNELS["se_ard"] = SE_ARD
+    KERNELS["se_iso"] = SE_ISO
+    KERNELS["se_ard_pallas"] = SE_ARD._replace(name="se_ard_pallas")
+    KERNELS["se_iso_pallas"] = SE_ISO._replace(name="se_iso_pallas")
 
 
 _register_pallas_variants()

@@ -74,12 +74,15 @@ def replicate(arr, mesh: Mesh):
         np.asarray(arr), mesh, P())
 
 
-def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256):
+def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None):
     """Multi-host distributed (NLL, grad) — pgp.pnll_vg semantics.
 
     Every process must pass the SAME x/y/hyp (data-replicated input,
     matrix-sharded compute)."""
     n_dev = mesh.shape[pgp.AXIS]
+    if block is None:
+        from .pchol import auto_block
+        block = auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
                                   jnp.asarray(np.asarray(y)), n_dev, block)
     hyp = replicate(np.asarray(hyp, np.asarray(x_pad).dtype), mesh)
@@ -90,10 +93,13 @@ def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256):
 
 
 def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
-         mesh: Mesh, block: int = 256, max_evals: int = 160):
+         mesh: Mesh, block: int | None = None, max_evals: int = 160):
     """Multi-host distributed bounded MLE fit — pgp.pfit semantics
     (pass standardized targets at float32; see pgp.pfit)."""
     n_dev = mesh.shape[pgp.AXIS]
+    if block is None:
+        from .pchol import auto_block
+        block = auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
                                   jnp.asarray(np.asarray(y)), n_dev, block)
     dt = np.asarray(x_pad).dtype
@@ -108,11 +114,14 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
     return LBFGSBResult(*out)
 
 
-def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
+def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None,
            max_tries: int = 32):
     """Multi-host posterior cache with the noise-inflation rescue
     (pgp.pset_k semantics).  Returns (hyp', L_sharded, invKys, ok)."""
     n_dev = mesh.shape[pgp.AXIS]
+    if block is None:
+        from .pchol import auto_block
+        block = auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
                                   jnp.asarray(np.asarray(y)), n_dev, block)
     dt = np.asarray(x_pad).dtype

@@ -151,9 +151,13 @@ def _pnll_program(kernel, hyp, x_pad, y_pad, n_real, n_dev, block, mesh):
                      out_specs=(P(), P()), check_vma=False)(hyp, x_pad, y_pad)
 
 
-def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256):
-    """Distributed (NLL, grad) over the full hyp vector; INF-sanitized."""
+def pnll_vg(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None):
+    """Distributed (NLL, grad) over the full hyp vector; INF-sanitized.
+
+    block=None picks pchol.auto_block (bounded panel count at any N)."""
     n_dev = mesh.shape[AXIS]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
     f, g = _pnll_program(kernel, jnp.asarray(hyp, x_pad.dtype), x_pad, y_pad,
                          n, n_dev, block, mesh)
@@ -181,7 +185,7 @@ def _pfit_program(kernel, noise_free, vec0, lb, ub, x_pad, y_pad, n_real,
 
 
 def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
-         mesh: Mesh, block: int = 256, max_evals: int = 160) -> LBFGSBResult:
+         mesh: Mesh, block: int | None = None, max_evals: int = 160) -> LBFGSBResult:
     """Distributed bounded MLE fit: the whole L-BFGS-B loop runs on-device;
     each objective evaluation factors the block-cyclic sharded K (pchol) and
     assembles the analytic gradient with psums — GP::train at pod scale.
@@ -192,6 +196,8 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
     the f32 objective on a rounding plateau (DESIGN.md precision policy).
     """
     n_dev = mesh.shape[AXIS]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
     dt = x_pad.dtype
     out = _pfit_program(kernel, noise_free, jnp.asarray(vec0, dt),
@@ -226,7 +232,7 @@ def _pfactor_program(kernel, hyp, x_pad, y_pad, n_real, n_dev, block, mesh):
                      check_vma=False)(hyp, x_pad, y_pad)
 
 
-def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
+def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None,
            max_tries: int = 32):
     """Distributed posterior cache with the reference's noise-inflation
     rescue (GP::_setK, GP.cpp:423-444): while the sharded Cholesky fails,
@@ -238,6 +244,8 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int = 256,
     NaN and MUST NOT be cached as a serving posterior.
     """
     n_dev = mesh.shape[AXIS]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], n_dev)
     x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
     hyp = jnp.asarray(hyp, x_pad.dtype)
     eps = float(jnp.finfo(x_pad.dtype).eps)
@@ -328,7 +336,7 @@ def _pfit_multistart_program(kernel, noise_free, vec0s, lb, ub, x_pad, y_pad,
 
 
 def pfit_multistart(kernel: KernelSpec, noise_free: bool, x, y, vec0s, lb,
-                    ub, mesh: Mesh, block: int = 256, max_evals: int = 160):
+                    ub, mesh: Mesh, block: int | None = None, max_evals: int = 160):
     """Two-axis distributed multi-start MLE over a ("starts", "rows") mesh.
 
     The restart population shards over "starts" (each submesh runs its own
@@ -342,6 +350,8 @@ def pfit_multistart(kernel: KernelSpec, noise_free: bool, x, y, vec0s, lb,
     """
     n_rows = mesh.shape[AXIS]
     n_starts = mesh.shape["starts"]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], n_rows)
     vec0s = jnp.asarray(vec0s)
     assert vec0s.shape[0] == n_starts, (
         f"need one start per 'starts' submesh ({n_starts}), got "

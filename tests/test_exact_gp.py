@@ -73,6 +73,25 @@ def test_nll_gradient_finite_differences(toy_problem, hyp_toy):
                 rtol=1e-6, atol=1e-8)
 
 
+def test_analytic_gradient_matches_ad(toy_problem, hyp_toy):
+    """nll_vg_raw (explicit-inverse analytic gradient, GP.cpp:151-171) and
+    nll_vg_streamed (tile-streamed variant for HBM-bound N) both agree with
+    reverse-mode AD of the same objective."""
+    import jax
+
+    X, y, _, _ = toy_problem
+    x_d, y_d = jnp.asarray(X), jnp.asarray(y)
+    h = jnp.asarray(hyp_toy)
+    f_ad, g_ad = jax.value_and_grad(
+        lambda v: exact.nll_raw(SE_ARD, v, x_d, y_d))(h)
+    for fn in (exact.nll_vg_raw,
+               lambda *a: exact.nll_vg_streamed(*a, tile=13)):
+        f_an, g_an = fn(SE_ARD, h, x_d, y_d)
+        np.testing.assert_allclose(float(f_an), float(f_ad), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_an), np.asarray(g_ad),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def test_nll_inf_for_non_spd(toy_problem):
     X, y, _, _ = toy_problem
     # absurd hyp: sf enormous, noise 0 -> numerically singular
