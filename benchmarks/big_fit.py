@@ -1,0 +1,107 @@
+"""Large-N exact-GP demonstrations on the real chip (BASELINE configs).
+
+  fit16k   — full MLE fit at N=16384, d=10 (synthetic, seed 42) on the
+             default backend; writes the fitted hyps + final NLL to
+             benchmarks/golden/tpu_fit_n16384.json.  Cross-check with
+             `python benchmarks/ref_equiv.py eval-at-synth gp <json>`.
+  eval50k  — measured NLL+analytic-gradient time at N=51200 (>=50k), d=10
+             via the memory-streamed path (exact.nll_vg_streamed): the
+             BASELINE "N=50k" config executed for real on ONE chip
+             (K^-1 is never materialized; peak ~1.3 N^2 buffers).
+
+Usage: python benchmarks/big_fit.py fit16k|eval50k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from synth import make_data  # noqa: E402  (benchmarks/ on path when run as file)
+
+
+def fit16k(n=16384, d=10):
+    import jax
+    from gp_tpu import GP
+
+    X, y = make_data(n, d)
+    gp = GP(X, y)
+    t0 = time.perf_counter()
+    nll = gp.train()
+    wall = time.perf_counter() - t0
+    out = {
+        "metric": f"tpu_exact_fit_n{n}_d{d}",
+        "value": round(wall, 1), "unit": "s (incl. compile)",
+        "final_nll": float(nll),
+        "backend": jax.default_backend(),
+        "seed": 42,
+        "hyp": [float(v) for v in gp.get_hyp()],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", f"tpu_fit_n{n}.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+    return out
+
+
+def eval50k(n=51200, d=10, tile=2048, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    X, y = make_data(n, d)
+    dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    x_d = jnp.asarray(X, dt)
+    # standardized targets (the f32 objective contract, models/base.py)
+    mu, sd = float(np.mean(y)), float(np.std(y, ddof=1))
+    y_d = jnp.asarray((y - mu) / sd, dt)
+    hyp0 = default_hyps(SE_ARD, X, (y - mu) / sd, 1e-3, False)
+
+    fn = jax.jit(lambda h: (lambda fg: (fg[0], jnp.sum(fg[1])))(
+        exact.nll_vg_streamed(SE_ARD, h, x_d, y_d, tile=tile)))
+
+    rng = np.random.default_rng(0)
+    hyps = [jnp.asarray(hyp0 + 0.01 * rng.standard_normal(hyp0.shape), dt)
+            for _ in range(reps + 1)]
+    t0 = time.perf_counter()
+    f0, gs = fn(hyps[0])
+    f0 = float(np.asarray(f0)) + float(np.asarray(gs))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(f0), "first evaluation non-finite"
+
+    ts = []
+    for h in hyps[1:]:
+        t0 = time.perf_counter()
+        f, gs = fn(h)
+        v = float(np.asarray(f)) + float(np.asarray(gs))
+        ts.append(time.perf_counter() - t0)
+        assert np.isfinite(v)
+    out = {
+        "metric": f"tpu_exact_nll_grad_s_n{n}_d{d}",
+        "value": round(min(ts), 2), "unit": "s/eval",
+        "tile": tile, "dtype": jnp.dtype(dt).name,
+        "backend": jax.default_backend(),
+        "first_call_incl_compile_s": round(compile_s, 1),
+        "seed": 42,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "eval50k"
+    if cmd == "fit16k":
+        fit16k()
+    elif cmd == "eval50k":
+        eval50k()
+    else:
+        raise SystemExit(f"unknown command {cmd}")

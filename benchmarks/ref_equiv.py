@@ -306,6 +306,43 @@ def train_sparse(model, n=8000, m=512, max_eval=None, noise_lb=1e-3):
     return out
 
 
+def gp_nll(hyp, X, y):
+    """Exact-GP NLL only (no O(N^3) explicit inverse) — for large-N
+    one-eval parity checks."""
+    n, d = X.shape
+    ell = np.exp(hyp[:d])
+    sf2 = np.exp(2.0 * hyp[d])
+    sn2 = np.exp(2.0 * hyp[d + 1])
+    Xs = X / ell
+    K = sf2 * np.exp(-0.5 * sqdist(Xs, Xs)) + sn2 * np.eye(n)
+    L = sla.cholesky(K, lower=True)
+    r = y - hyp[d + 2]
+    alpha = sla.cho_solve((L, True), r)
+    return (0.5 * r @ alpha + np.log(np.diag(L)).sum()
+            + 0.5 * n * np.log(2 * np.pi))
+
+
+def eval_at_synth(hyp_path):
+    """One f64 oracle NLL at TPU-fitted hyps on the synthetic large-N data
+    (benchmarks/synth.py; n/d/seed read from the fit record)."""
+    from synth import make_data
+
+    rec = json.load(open(hyp_path))
+    n = int(rec["metric"].split("_n")[-1].split("_")[0])
+    d = int(rec["metric"].split("_d")[-1])
+    X, y = make_data(n, d, seed=rec.get("seed", 42))
+    t0 = time.perf_counter()
+    nll = gp_nll(np.asarray(rec["hyp"], np.float64), X, y)
+    out = {"metric": f"cpu_ref_equiv_gp_nll_at_hyp_n{n}",
+           "value": float(nll), "unit": "nll",
+           "tpu_final_nll": rec.get("final_nll"),
+           "rel_diff": abs(float(nll) - rec["final_nll"])
+           / max(abs(rec["final_nll"]), 1.0),
+           "oracle_wall_s": round(time.perf_counter() - t0, 1)}
+    print(json.dumps(out))
+    return out
+
+
 def eval_at(model, hyp_path, n=8000, m=512, noise_lb=1e-3):
     """One oracle NLL evaluation at externally-fitted hyps (full-fit parity
     pinning: run the TPU CLI, then this at its optimum)."""
@@ -335,6 +372,8 @@ if __name__ == "__main__":
         train_sparse(cmd[6:],
                      int(sys.argv[2]) if len(sys.argv) > 2 else 8000,
                      int(sys.argv[3]) if len(sys.argv) > 3 else 512)
+    elif cmd == "eval-at-synth":
+        eval_at_synth(sys.argv[2])
     elif cmd == "eval-at":
         # ref_equiv.py eval-at <gp|fitc|vfe> <hyp_json> [n [m]]
         eval_at(sys.argv[2], sys.argv[3],

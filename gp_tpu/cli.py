@@ -40,7 +40,8 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--kernel", default="se_ard",
                         choices=("se_ard", "se_iso", "matern52", "matern32",
                                  "rq", "matern52_iso", "matern32_iso",
-                                 "rq_iso", "se_ard_pallas", "se_iso_pallas"))
+                                 "rq_iso", "se_ard_pallas", "se_iso_pallas",
+                                 "se_ard_xla", "se_iso_xla"))
         sp.add_argument("--starts", type=int, default=0,
                         help="multi-start restarts (0 = single local fit, "
                              "the reference pipeline)")

@@ -318,9 +318,11 @@ class GPBase:
         return v if np.isfinite(v) else INF
 
     def select_init_hyp(self, max_eval: int, def_hyp) -> np.ndarray:
-        """Global search fallback replacing MVMO (GP.cpp:463-485), with the
-        reference's sn2 > mean(sf2) rejection."""
-        from ..optim.multistart import random_search
+        """MVMO global search (GP.cpp:463-485): adaptive mean-variance
+        mapping with archive 25 and the reference's fs 0.5 -> 20 shaping
+        schedule (optim.multistart.mvmo_search), with the sn2 > mean(sf2)
+        rejection installed in the objective."""
+        from ..optim.multistart import mvmo_search
 
         def_hyp = jnp.asarray(self._hyp_to_std(def_hyp), self._dtype)
         lb, ub = self._std_bounds()
@@ -329,7 +331,7 @@ class GPBase:
         x0_v = to_opt_vec(def_hyp, self._noise_free)
 
         fun = self._multistart_objective()
-        best_v, best_f = random_search(
+        best_v, best_f = mvmo_search(
             fun, self._next_key(), lb_v, ub_v, x0_v, num=int(max_eval),
             chunk=self._multistart_chunk(),
         )

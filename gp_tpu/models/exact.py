@@ -135,21 +135,35 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
            + 0.5 * n * jnp.log(2 * jnp.pi))
 
-    g_cov = jnp.zeros((nc,), x.dtype)
-    tr_Kinv = jnp.zeros((), x.dtype)
-    eye_t = jnp.eye(n, tile, dtype=x.dtype)       # (n, tile), ones at rows 0..
-    for j in range(0, n, tile):
-        b = min(tile, n - j)
+    eye_t = jnp.eye(n, min(tile, n), dtype=x.dtype)   # ones at rows 0..tile
+
+    def tile_terms(j, b):
+        """(g_cov, tr) contribution of K^-1 columns [j, j+b)."""
         E = jnp.roll(eye_t[:, :b], j, axis=0)      # identity columns j..j+b
         KinvI = chol_solve(L, E)                   # (n, b): columns of K^-1
-        x_I = jax.lax.slice_in_dim(x, j, j + b)
-        a_I = jax.lax.slice_in_dim(alpha, j, j + b)
+        x_I = jax.lax.dynamic_slice(x, (j, 0), (b, x.shape[1]))
+        a_I = jax.lax.dynamic_slice(alpha, (j,), (b,))
         Q_I = KinvI.T - a_I[:, None] * alpha[None, :]
         _, k_vjp = jax.vjp(lambda c: kernel.k(c, x_I, x), chyp)
-        g_cov = g_cov + 0.5 * k_vjp(Q_I)[0]
-        tr_Kinv = tr_Kinv + jnp.sum(
-            jax.lax.slice_in_dim(KinvI, j, j + b, axis=0)
-            * jnp.eye(b, dtype=x.dtype))
+        tr = jnp.sum(jax.lax.dynamic_slice(KinvI, (j, 0), (b, b))
+                     * jnp.eye(b, dtype=x.dtype))
+        return 0.5 * k_vjp(Q_I)[0], tr
+
+    if n % tile == 0 and n > tile:
+        # ONE compiled tile body via lax.scan (at N~50k an unrolled loop
+        # would multiply compile time by the tile count)
+        def body(carry, j):
+            g, tr = tile_terms(j, tile)
+            return (carry[0] + g, carry[1] + tr), None
+        (g_cov, tr_Kinv), _ = jax.lax.scan(
+            body, (jnp.zeros((nc,), x.dtype), jnp.zeros((), x.dtype)),
+            jnp.arange(0, n, tile))
+    else:
+        g_cov = jnp.zeros((nc,), x.dtype)
+        tr_Kinv = jnp.zeros((), x.dtype)
+        for j in range(0, n, tile):
+            g, tr = tile_terms(j, min(tile, n - j))
+            g_cov, tr_Kinv = g_cov + g, tr_Kinv + tr
     g_sn = sn2 * (tr_Kinv - jnp.dot(alpha, alpha))
     g_mean = -jnp.sum(alpha)
     grad = jnp.concatenate(

@@ -73,7 +73,41 @@ QR = SolverSpec(
 )
 
 
-SOLVERS = {"chol": CHOL, "cholesky": CHOL, "qr": QR}
+def _qrp_factor(K):
+    from .qr_pivot import qr_pivot
+    return qr_pivot(K)
+
+
+def _qrp_ok(f):
+    from .qr_pivot import qrp_ok
+    return qrp_ok(f[1])
+
+
+def _qrp_logdet(f):
+    from .qr_pivot import qrp_logabsdet
+    return qrp_logabsdet(f[1])
+
+
+def _qrp_solve(f, b):
+    from .qr_pivot import qrp_solve
+    return qrp_solve(f[0], f[1], f[2], b)
+
+
+# The reference's actual default: ColPivHouseholderQR
+# (MatrixSolver.cpp:31-53; all three drivers pass QR explicitly).
+# Sequential pivoting makes this latency-bound on TPU — see
+# ops/qr_pivot.py for why Cholesky stays the performance default.
+QR_PIVOT = SolverSpec(
+    name="qr_pivot",
+    factor=_qrp_factor,
+    ok=_qrp_ok,
+    logdet=_qrp_logdet,
+    solve=_qrp_solve,
+)
+
+
+SOLVERS = {"chol": CHOL, "cholesky": CHOL, "qr": QR, "qr_pivot": QR_PIVOT,
+           "qrp": QR_PIVOT}
 
 
 def get_solver(name_or_spec) -> SolverSpec:

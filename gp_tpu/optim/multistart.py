@@ -72,6 +72,109 @@ def random_search(
     return jnp.where(use_default, x_default, best_x), best_f
 
 
+@partial(jax.jit, static_argnames=("fun", "num", "chunk", "archive"))
+def mvmo_search(
+    fun: Callable,
+    key,
+    lb,
+    ub,
+    x_default,
+    num: int = 1000,
+    chunk: int = 8,
+    archive: int = 25,
+    fs_init: float = 0.5,
+    fs_final: float = 20.0,
+):
+    """Adaptive global search with MVMO semantics (Mean-Variance Mapping
+    Optimization) — the evolutionary optimizer the reference configures
+    for select_init_hyp (GP.cpp:478-484: fs_init=0.5, fs_final=20,
+    archive_size=25; implementation vendored as an EMPTY submodule, so
+    only the API + configuration are knowable — SURVEY.md 2.9).
+
+    Faithful mechanics, vectorized per generation of `chunk` children:
+      * an elite archive of the `archive` best (x, f) pairs in [0,1]^d
+        normalized space;
+      * children inherit the archive BEST on a random subset of variables
+        and draw the rest through the MVMO h-mapping
+        h(u) = xbar (1 - e^{-u s}) + (1 - xbar) e^{-(1-u) s},
+        centered on the archive MEAN xbar with shaping factor
+        s = fs * (-log var) from the archive VARIANCE — low variance in a
+        variable concentrates sampling near its mean;
+      * fs ramps geometrically fs_init -> fs_final over the eval budget
+        (exploration -> exploitation).
+
+    Same objective contract as random_search (INF for rejected points);
+    returns (best_x, best_f), best_x = x_default when nothing is finite.
+    """
+    x_default = jnp.asarray(x_default)
+    dt = x_default.dtype
+    nv = x_default.shape[0]
+    lb = jnp.asarray(lb, dt)
+    ub = jnp.asarray(ub, dt)
+    span = 80.0
+    lb_f = jnp.where(jnp.isfinite(lb), lb,
+                     jnp.where(jnp.isfinite(ub), ub - span, -span))
+    ub_f = jnp.where(jnp.isfinite(ub), ub, lb_f + span)
+    width = ub_f - lb_f
+
+    def denorm(z):
+        return lb_f + z * width
+
+    n_gen = max(num // chunk, 1)
+
+    # seed archive: the default point + uniform randoms
+    key, k0 = jax.random.split(key)
+    z0 = jnp.clip((x_default - lb_f) / width, 0.0, 1.0)
+    za = jnp.concatenate(
+        [z0[None, :],
+         jax.random.uniform(k0, (archive - 1, nv), dt)], axis=0)
+    fa = jax.lax.map(lambda z: fun(denorm(z)), za)
+    fa = jnp.where(jnp.isfinite(fa), fa, INF)
+
+    def gen(state, inp):
+        za, fa = state
+        t, key = inp
+        # geometric fs ramp over the budget
+        frac = t.astype(dt) / jnp.asarray(max(n_gen - 1, 1), dt)
+        fs = fs_init * (fs_final / fs_init) ** frac
+
+        order = jnp.argsort(fa)
+        za_s, fa_s = za[order], fa[order]
+        finite = jnp.isfinite(fa_s)[:, None]
+        wsum = jnp.maximum(jnp.sum(finite), 1)
+        xbar = jnp.sum(jnp.where(finite, za_s, 0.0), axis=0) / wsum
+        var = (jnp.sum(jnp.where(finite, (za_s - xbar) ** 2, 0.0), axis=0)
+               / wsum)
+        s = fs * jnp.maximum(-jnp.log(jnp.maximum(var, 1e-12)), 1.0)
+
+        ku, km, key = jax.random.split(key, 3)
+        u = jax.random.uniform(ku, (chunk, nv), dt)
+        h = (xbar[None, :] * (1.0 - jnp.exp(-u * s[None, :]))
+             + (1.0 - xbar[None, :]) * jnp.exp(-(1.0 - u) * s[None, :]))
+        # mutate a random subset of variables; inherit the best elsewhere
+        sel = jax.random.bernoulli(km, 0.5, (chunk, nv))
+        child = jnp.where(sel, h, za_s[0][None, :])
+        child = jnp.clip(child, 0.0, 1.0)
+
+        fc = jax.vmap(lambda z: fun(denorm(z)))(child)
+        fc = jnp.where(jnp.isfinite(fc), fc, INF)
+
+        # merge children into the archive (keep best `archive`)
+        z_all = jnp.concatenate([za_s, child], axis=0)
+        f_all = jnp.concatenate([fa_s, fc], axis=0)
+        keep = jnp.argsort(f_all)[:archive]
+        return (z_all[keep], f_all[keep]), None
+
+    keys = jax.random.split(key, n_gen)
+    (za, fa), _ = jax.lax.scan(gen, (za, fa),
+                               (jnp.arange(n_gen), keys))
+    best = jnp.argmin(fa)
+    best_f = fa[best]
+    best_x = denorm(za[best])
+    use_default = ~jnp.isfinite(best_f)
+    return jnp.where(use_default, x_default, best_x), best_f
+
+
 class MultistartResult(NamedTuple):
     x: jnp.ndarray
     f: jnp.ndarray

@@ -26,7 +26,12 @@ def _run_cli(tmp_path, *args):
 
 @pytest.mark.parametrize("cmd", [
     ("gp", "120"),
-    ("fitc", "500", "64"),
+    # fitc 500/64 is bistable on this 24-D data (inducing rows come from
+    # the far end of the file; the noise basin and the good basin differ
+    # by rounding-level trajectory effects — flipping with e.g. the
+    # xla_force_host_platform_device_count flag).  1000/128 is robustly in
+    # the good basin for every kernel build, so quality stays assertable.
+    ("fitc", "1000", "128"),
     ("vfe", "500", "64"),
 ])
 def test_cli_driver(tmp_path, cmd):

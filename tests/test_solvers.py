@@ -60,3 +60,38 @@ def test_get_solver():
     assert get_solver(CHOL) is CHOL
     with pytest.raises(ValueError):
         get_solver("lu")
+
+
+def test_qr_pivot_matches_lapack():
+    """Pivot order, reconstruction, solve, and rank detection vs scipy's
+    dgeqp3 — the reference's actual solver (MatrixSolver.cpp:31-53)."""
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+    from gp_tpu.ops.qr_pivot import qr_pivot, qrp_ok, qrp_solve
+
+    rng = np.random.default_rng(1)
+    K = rng.standard_normal((50, 50))
+    Q, R, perm = (np.asarray(a) for a in qr_pivot(jnp.asarray(K)))
+    assert np.abs(K[:, perm] - Q @ R).max() < 1e-10
+    _, _, ps = sla.qr(K, pivoting=True)
+    assert np.array_equal(perm, ps)
+    b = rng.standard_normal(50)
+    x = np.asarray(qrp_solve(jnp.asarray(Q), jnp.asarray(R),
+                             jnp.asarray(perm), jnp.asarray(b)))
+    assert np.abs(K @ x - b).max() < 1e-9
+    # rank-2 matrix: pivoted QR must report not-ok (unpivoted can miss)
+    u, v = rng.standard_normal((2, 50))
+    Kd = np.outer(u, u) + np.outer(v, v)
+    _, R2, _ = qr_pivot(jnp.asarray(Kd))
+    assert not bool(qrp_ok(R2))
+
+
+def test_gp_with_qr_pivot_solver(toy_problem):
+    X, y, Xs, _ = toy_problem
+    g1 = GP(X, y, solver="chol")
+    g2 = GP(X, y, solver="qr_pivot")
+    n1, n2 = g1.train(), g2.train()
+    np.testing.assert_allclose(n1, n2, rtol=1e-6)
+    mu1, _ = g1.batch_predict(Xs)
+    mu2, _ = g2.batch_predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, rtol=1e-6)
