@@ -50,6 +50,39 @@ def fit16k(n=16384, d=10):
     return out
 
 
+def fit8k():
+    """Full `gp 8000` MLE fit on the bundled data (the reference driver's
+    default workload) — records hyps for the one-eval CPU-oracle parity
+    check (`python benchmarks/ref_equiv.py eval-at gp <json> 8000`)."""
+    import jax
+    from gp_tpu import GP
+    from gp_tpu.utils.io import read_matrix
+
+    ref = "/root/reference/data"
+    X = read_matrix(os.path.join(ref, "train_x"))[:8000]
+    y = read_matrix(os.path.join(ref, "train_y"))[:8000].ravel()
+    Xs = read_matrix(os.path.join(ref, "test_x"))
+    ty = read_matrix(os.path.join(ref, "test_y")).ravel()
+    gp = GP(X, y)
+    t0 = time.perf_counter()
+    nll = gp.train()
+    wall = time.perf_counter() - t0
+    mu = gp.batch_predict_y(Xs)
+    rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ty) ** 2)))
+    out = {
+        "metric": "tpu_exact_fit_n8000_d24",
+        "value": round(wall, 1), "unit": "s (incl. compile)",
+        "final_nll": float(nll), "heldout_rmse": round(rmse, 3),
+        "backend": jax.default_backend(),
+        "hyp": [float(v) for v in gp.get_hyp()],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "tpu_fit_n8000.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+    return out
+
+
 def eval50k(n=51200, d=10, tile=2048, reps=3):
     import jax
     import jax.numpy as jnp
@@ -101,6 +134,8 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "eval50k"
     if cmd == "fit16k":
         fit16k()
+    elif cmd == "fit8k":
+        fit8k()
     elif cmd == "eval50k":
         eval50k()
     else:

@@ -114,6 +114,26 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
     return LBFGSBResult(*out)
 
 
+def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
+             block: int | None = None):
+    """Multi-host distributed batch posterior (pgp.ppredict semantics).
+    `L` is the global sharded factor returned by this module's pset_k."""
+    if block is None:
+        block = int(L.shape[2])
+    n_dev = mesh.shape[pgp.AXIS]
+    x_arr = np.asarray(x)
+    x_pad, _, n = pgp._pad_xy(jnp.asarray(x_arr),
+                              jnp.zeros((x_arr.shape[0],), x_arr.dtype),
+                              n_dev, block)
+    dt = np.asarray(x_pad).dtype
+    hyp = replicate(np.asarray(hyp, dt), mesh)
+    xs_g = replicate(np.asarray(xs, dt), mesh)
+    x_g = replicate(x_pad, mesh)
+    return pgp._ppredict_program(kernel, hyp, x_g, L,
+                                 replicate(np.asarray(invKys, dt), mesh),
+                                 xs_g, n, n_dev, block, mesh)
+
+
 def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None,
            max_tries: int = 32):
     """Multi-host posterior cache with the noise-inflation rescue

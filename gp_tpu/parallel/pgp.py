@@ -280,6 +280,23 @@ def _pquad_program(kt_pad, L, n_dev, block, mesh):
                      out_specs=P(), check_vma=False)(L, ktb)
 
 
+@partial(jax.jit,
+         static_argnames=("kernel", "n_real", "n_dev", "block", "mesh"))
+def _ppredict_program(kernel, hyp, x_pad, L, invKys, xs, n_real, n_dev,
+                      block, mesh):
+    """Fully-jitted distributed predict (multi-host safe: every op on the
+    global arrays happens inside this one program)."""
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    kt = kernel.k(chyp, xs, x_pad[:n_real])               # (T, N)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x_pad.dtype
+                       ).at[:n_real, :].set(kt.T)
+    quad = _pquad_program.__wrapped__(kt_pad, L, n_dev, block, mesh)
+    s2 = jnp.maximum(kernel.diag_k(chyp, xs) - quad, 0.0) + hyp_sn2(hyp)
+    return mu, s2
+
+
 def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
              block: int | None = None):
     """Distributed batch posterior (GP::_predict semantics, GP.cpp:273-297):

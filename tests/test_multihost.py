@@ -51,11 +51,15 @@ res = multihost.pfit(SE_ARD, False, x, y,
                      max_evals=12)
 
 hyp_k, L, invKys, ok = multihost.pset_k(SE_ARD, hyp, x, y, mesh, block=4)
+xs = rng.uniform(-3, 3, (8, 3))
+mu, s2 = multihost.ppredict(SE_ARD, np.asarray(hyp_k), x, L,
+                            np.asarray(invKys), xs, mesh, block=4)
 
 if pid == 0:
     json.dump({"f": float(f), "g": np.asarray(g).tolist(),
                "fit_f": float(res.f), "fit_x": np.asarray(res.x).tolist(),
                "ok": bool(ok),
+               "mu": np.asarray(mu).tolist(), "s2": np.asarray(s2).tolist(),
                "invKys": np.asarray(invKys).tolist()}, open(out, "w"))
 """
 
@@ -121,3 +125,8 @@ def test_two_process_matches_single_process(tmp_path):
     assert ok
     np.testing.assert_allclose(result["invKys"], np.asarray(invKys),
                                rtol=1e-9, atol=1e-12)
+    xs = rng.uniform(-3, 3, (8, 3))
+    mu, s2 = pgp.ppredict(SE_ARD, hyp_k, x, L, invKys, xs, mesh, block=4)
+    np.testing.assert_allclose(result["mu"], np.asarray(mu), rtol=1e-9)
+    np.testing.assert_allclose(result["s2"], np.asarray(s2), rtol=1e-8,
+                               atol=1e-12)
