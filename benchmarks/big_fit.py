@@ -8,8 +8,13 @@
              via the memory-streamed path (exact.nll_vg_streamed): the
              BASELINE "N=50k" config executed for real on ONE chip
              (K^-1 is never materialized; peak ~1.3 N^2 buffers).
+  fit50k   — the full BASELINE N=50k config: 160-eval MLE fit at N=51200,
+             d=10 on one chip (GP.train routes the streamed objective and
+             the host-loop set_k above 32768 rows), plus a held-out
+             prediction check; writes golden/tpu_fit_n51200.json.
+             Cross-check: `ref_equiv.py eval-at-synth <json>`.
 
-Usage: python benchmarks/big_fit.py fit16k|eval50k
+Usage: python benchmarks/big_fit.py fit16k|fit8k|eval50k|fit50k
 """
 
 from __future__ import annotations
@@ -83,6 +88,38 @@ def fit8k():
     return out
 
 
+def fit50k(n=51200, d=10):
+    """The BASELINE N=50k exact-GP config, for real: full MLE fit + predict
+    on one chip.  Held-out points come from the same generator at a
+    different seed (the targets share the noiseless function)."""
+    import jax
+    from gp_tpu import GP
+
+    X, y = make_data(n, d)
+    Xs_all, ys_all = make_data(2000, d, seed=7)
+    gp = GP(X, y)
+    t0 = time.perf_counter()
+    nll = gp.train()
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mu = gp.batch_predict_y(Xs_all)
+    pred_wall = time.perf_counter() - t0
+    rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys_all) ** 2)))
+    out = {
+        "metric": f"tpu_exact_fit_n{n}_d{d}",
+        "value": round(wall, 1), "unit": "s (incl. compile)",
+        "final_nll": float(nll), "heldout_rmse": round(rmse, 4),
+        "predict_2000_s": round(pred_wall, 2),
+        "backend": jax.default_backend(), "seed": 42,
+        "hyp": [float(v) for v in gp.get_hyp()],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", f"tpu_fit_n{n}.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+    return out
+
+
 def eval50k(n=51200, d=10, tile=2048, reps=3):
     import jax
     import jax.numpy as jnp
@@ -97,7 +134,11 @@ def eval50k(n=51200, d=10, tile=2048, reps=3):
     # standardized targets (the f32 objective contract, models/base.py)
     mu, sd = float(np.mean(y)), float(np.std(y, ddof=1))
     y_d = jnp.asarray((y - mu) / sd, dt)
-    hyp0 = default_hyps(SE_ARD, X, (y - mu) / sd, 1e-3, False)
+    hyp0 = np.asarray(default_hyps(SE_ARD, X, (y - mu) / sd, 1e-3, False))
+    # the default noise (std(y)*1e-3)^2 ~ 1e-6 makes K legitimately
+    # non-SPD in f32 at this N (the fit path rescues via multistart;
+    # GP.cpp:196-198) — time at a representative feasible noise instead
+    hyp0[-2] = np.log(0.05)
 
     fn = jax.jit(lambda h: (lambda fg: (fg[0], jnp.sum(fg[1])))(
         exact.nll_vg_streamed(SE_ARD, h, x_d, y_d, tile=tile)))
@@ -138,5 +179,7 @@ if __name__ == "__main__":
         fit8k()
     elif cmd == "eval50k":
         eval50k()
+    elif cmd == "fit50k":
+        fit50k()
     else:
         raise SystemExit(f"unknown command {cmd}")

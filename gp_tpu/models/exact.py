@@ -33,6 +33,12 @@ from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
                    sanitize_value_and_grad, to_opt_vec)
 
 
+# Row count from which the memory-streamed objective / posterior paths
+# take over from the K^-1-materializing ones (the latter OOM a 16 GB chip
+# around here; see nll_vg_streamed / set_k_streamed).
+_STREAM_MIN_N = 32768
+
+
 # --------------------------------------------------------------------------
 # Pure functions
 # --------------------------------------------------------------------------
@@ -106,6 +112,56 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     return nll, grad
 
 
+def _build_k_noise_tiled(kernel: KernelSpec, chyp, x, sn2, tile: int):
+    """K = k(X, X) + sn2 I built row-panel by row-panel into ONE carry.
+
+    `kernel.k(chyp, x, x) + sn2 I` as separate ops peaks at two live N^2
+    buffers (the kernel output — plus a layout copy when it is a Pallas
+    call — and the noise-add fusion's output): 19.6 GB at N=51200 f32,
+    measured OOM on the 16 GB v5e.  Streaming (tile, N) panels through a
+    lax.scan carry keeps the build at one N^2 buffer + O(tile N) temps,
+    with the diagonal noise fused into each panel via an iota mask."""
+    n = x.shape[0]
+    if n % tile or n <= tile:
+        return kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
+
+    col = jnp.arange(n)
+
+    # Python-unrolled (NOT lax.scan): a scan pins the carry to the default
+    # row-major layout while the downstream Cholesky's custom-calls demand
+    # column-major, so XLA inserts a full N^2 layout copy of the scan
+    # output (second 9.77 GB buffer at N=51200 — measured OOM).  With the
+    # loop unrolled, layout assignment propagates the consumer's layout
+    # through the whole DUS chain and the build stays one buffer.
+    K = jnp.zeros((n, n), x.dtype)
+    for j in range(0, n, tile):
+        x_I = jax.lax.dynamic_slice(x, (j, 0), (tile, x.shape[1]))
+        rows = kernel.k(chyp, x_I, x)                     # (tile, n)
+        ii = j + jnp.arange(tile)
+        rows = rows + sn2 * (col[None, :] == ii[:, None]).astype(rows.dtype)
+        K = jax.lax.dynamic_update_slice(K, rows, (j, 0))
+    return K
+
+
+def _factor_k_noise(kernel: KernelSpec, chyp, x, sn2, tile: int):
+    """Build K + sn2 I and Cholesky-factor it at ~1x N^2 peak memory.
+
+    Past the int32 single-buffer limit (N > 32768: see ops/slabbed.py —
+    bigger in-place buffers silently corrupt on XLA:TPU) K lives as a
+    tuple of column slabs and factors slab-in-place; downstream
+    chol_solve / chol_logdet / chol_ok dispatch on the tuple type.
+    """
+    from ..ops.chol import cholesky
+    from ..ops.slabbed import build_k_noise_slabs, use_slabs
+
+    n = x.shape[0]
+    if use_slabs(n):
+        block = 2048 if n >= 2048 else 64
+        slabs = build_k_noise_slabs(kernel, chyp, x, sn2, block=block)
+        return cholesky(slabs)
+    return cholesky(_build_k_noise_tiled(kernel, chyp, x, sn2, tile))
+
+
 def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     """Memory-streamed analytic NLL+gradient for single-chip N beyond the
     K^-1-materializing path (nll_vg_raw needs ~4 N^2 buffers; this needs
@@ -120,7 +176,7 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     working set exceeds HBM (BASELINE N=50k config: K alone is 10 GB f32
     on a 16 GB v5e).
     """
-    from ..ops.chol import chol_logdet, chol_solve, cholesky
+    from ..ops.chol import chol_logdet, chol_solve
 
     n, d = x.shape
     nc = kernel.num_hyp(d)
@@ -128,18 +184,19 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     sn2 = hyp_sn2(hyp)
     mean = hyp_mean(hyp)
 
-    K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
-    L = cholesky(K)
+    L = _factor_k_noise(kernel, chyp, x, sn2, tile)
     r = y - mean
     alpha = chol_solve(L, r)
     nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
            + 0.5 * n * jnp.log(2 * jnp.pi))
 
-    eye_t = jnp.eye(n, min(tile, n), dtype=x.dtype)   # ones at rows 0..tile
+    row = jnp.arange(n)
 
     def tile_terms(j, b):
         """(g_cov, tr) contribution of K^-1 columns [j, j+b)."""
-        E = jnp.roll(eye_t[:, :b], j, axis=0)      # identity columns j..j+b
+        # identity columns j..j+b as a fused iota mask (jnp.roll of an
+        # (n, tile) eye concatenates a (2n, tile) temp — 800 MB at N=51200)
+        E = (row[:, None] == (j + jnp.arange(b))[None, :]).astype(x.dtype)
         KinvI = chol_solve(L, E)                   # (n, b): columns of K^-1
         x_I = jax.lax.dynamic_slice(x, (j, 0), (b, x.shape[1]))
         a_I = jax.lax.dynamic_slice(alpha, (j,), (b,))
@@ -182,7 +239,12 @@ def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y,
     """
     if solver.name == "chol":
         hyp = from_opt_vec(vec, noise_free)
-        f, g_hyp = nll_vg_raw(kernel, hyp, x, y)
+        # beyond ~32k rows the K^-1-materializing path needs ~4 N^2
+        # buffers (16 GB at N=32768 f32); stream tiles instead
+        if x.shape[0] >= _STREAM_MIN_N:
+            f, g_hyp = nll_vg_streamed(kernel, hyp, x, y)
+        else:
+            f, g_hyp = nll_vg_raw(kernel, hyp, x, y)
         g = to_opt_vec(g_hyp, noise_free)
         return sanitize_value_and_grad(f, g)
     f, g = jax.value_and_grad(
@@ -251,6 +313,57 @@ def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
     hyp = hyp.at[-2].set(log_sn)
     invKys = solver.solve(f, y - hyp_mean(hyp))
     return hyp, f, invKys
+
+
+@partial(jax.jit, static_argnames=("kernel", "tile"))
+def _set_k_attempt(kernel: KernelSpec, chyp, log_sn, x, tile: int = 2048):
+    """One posterior-factor attempt at ~1x N^2 peak: K + sn2 I built
+    tile-by-tile (or slab-by-slab past the int32 single-buffer limit)
+    and factored in place."""
+    from ..ops.chol import chol_ok
+
+    L = _factor_k_noise(kernel, chyp, x, jnp.exp(2.0 * log_sn), tile)
+    return L, chol_ok(L)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _invkys_from_chol(kernel: KernelSpec, hyp, L, y):
+    from ..ops.chol import chol_solve
+
+    return chol_solve(L, y - hyp_mean(hyp))
+
+
+def set_k_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
+                   max_tries: int = 64):
+    """set_k semantics (GP::_setK, GP.cpp:423-444) for HBM-bound N.
+
+    The jitted set_k holds Kcov live across its lax.while_loop rescue plus
+    the factor output — two N^2 buffers, an OOM at N>=45k f32 on a 16 GB
+    chip.  Here each ATTEMPT is one jitted program (build-tiled + factor
+    in place, ~1x N^2 peak) and the noise-inflation schedule
+    (log_sn += log sqrt(10), restarting at log eps from -inf) runs on the
+    host between attempts; retries re-enter the same compiled program with
+    a different log_sn operand.  Chol-solver only.
+    """
+    import math
+
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc].astype(x.dtype)
+    log_sn = float(hyp[-2])
+    eps = float(jnp.finfo(x.dtype).eps)
+
+    L, ok = _set_k_attempt(kernel, chyp, jnp.asarray(log_sn, x.dtype), x,
+                           tile)
+    tries = 0
+    while not bool(ok) and tries < max_tries:
+        log_sn = (math.log(eps) if math.isinf(log_sn)
+                  else log_sn + 0.5 * math.log(10.0))
+        L, ok = _set_k_attempt(kernel, chyp, jnp.asarray(log_sn, x.dtype),
+                               x, tile)
+        tries += 1
+    hyp = hyp.at[-2].set(jnp.asarray(log_sn, hyp.dtype))
+    invKys = _invkys_from_chol(kernel, hyp, L, y)
+    return hyp, (L,), invKys
 
 
 @partial(jax.jit, static_argnames=("kernel", "solver"))
@@ -368,8 +481,14 @@ class GP(GPBase):
                    solver=self.solver)
 
     def _update_posterior(self):
-        hyp, f, invKys = set_k(self.kernel, self._hyps, self._x, self._y,
-                               self.solver)
+        if self.solver.name == "chol" and self._x.shape[0] >= _STREAM_MIN_N:
+            # jitted set_k needs 2 N^2 live buffers (Kcov across the
+            # rescue loop + factor) — OOM at this N; host-loop variant
+            hyp, f, invKys = set_k_streamed(self.kernel, self._hyps,
+                                            self._x, self._y)
+        else:
+            hyp, f, invKys = set_k(self.kernel, self._hyps, self._x,
+                                   self._y, self.solver)
         self._hyps = hyp
         self._post = (*f, invKys)
         self._post_dist = None       # single-device posterior supersedes

@@ -27,6 +27,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# These single-buffer routines are safe only while the full matrix stays
+# within XLA:TPU's int32 fusion addressing (<= 2^30 elements verified;
+# in-place updates on bigger buffers SILENTLY corrupt — measured at
+# N=51200 f32).  Past that, callers must use the column-slab storage in
+# ops/slabbed.py; models/exact.py routes automatically via
+# slabbed.use_slabs().
+
 
 def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
                      panel_inv: bool = True):
@@ -74,7 +81,11 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
                 pan = solve_triangular(Ljj, L[c1:, c0:c1].T, lower=True).T
             L = L.at[c1:, c0:c1].set(pan)
             L = L.at[c1:, c1:].add(-(pan @ pan.T))
-    return jnp.tril(L)
+            # zero this block row's upper strip IN PLACE: a trailing
+            # jnp.tril(L) materializes a second N^2 buffer (9.8 GB at
+            # N=51200 f32 — measured OOM); these DUS writes alias L
+            L = L.at[c0:c1, c1:].set(jnp.zeros((block, n - c1), L.dtype))
+    return L
 
 
 def blocked_solve_lower(L, B, block: int = 1024):

@@ -71,9 +71,19 @@ def save_model(model, path: str) -> None:
         arrays["inducing"] = np.asarray(model._u)
         meta["jitter_u"] = float(model._jitter_u)
     if trained and model._post is not None:
+        slab_counts = {}
         for i, a in enumerate(model._post):
-            arrays[f"post_{i}"] = np.asarray(a)
+            if isinstance(a, (tuple, list)):
+                # column-slab factor (ops/slabbed.py, N past the int32
+                # single-buffer limit): one named array per slab
+                slab_counts[str(i)] = len(a)
+                for j, s in enumerate(a):
+                    arrays[f"post_{i}_s{j}"] = np.asarray(s)
+            else:
+                arrays[f"post_{i}"] = np.asarray(a)
         meta["num_post"] = len(model._post)
+        if slab_counts:
+            meta["post_slabs"] = slab_counts
     arrays["key"] = np.asarray(model._key)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -109,9 +119,16 @@ def load_model(path: str):
             model._u = jnp.asarray(z["inducing"], dt)
             model._jitter_u = meta["jitter_u"]
         if meta["trained"] and "num_post" in meta:
-            model._post = tuple(
-                jnp.asarray(z[f"post_{i}"], dt)
-                for i in range(meta["num_post"]))
+            slab_counts = meta.get("post_slabs", {})
+            post = []
+            for i in range(meta["num_post"]):
+                if str(i) in slab_counts:
+                    post.append(tuple(
+                        jnp.asarray(z[f"post_{i}_s{j}"], dt)
+                        for j in range(slab_counts[str(i)])))
+                else:
+                    post.append(jnp.asarray(z[f"post_{i}"], dt))
+            model._post = tuple(post)
             model._trained = True
         if meta["trained"] and "dist_n_dev" in meta:
             model._post_dist_pending = (

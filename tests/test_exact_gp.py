@@ -85,7 +85,9 @@ def test_analytic_gradient_matches_ad(toy_problem, hyp_toy):
     f_ad, g_ad = jax.value_and_grad(
         lambda v: exact.nll_raw(SE_ARD, v, x_d, y_d))(h)
     for fn in (exact.nll_vg_raw,
-               lambda *a: exact.nll_vg_streamed(*a, tile=13)):
+               lambda *a: exact.nll_vg_streamed(*a, tile=13),
+               # tile | n -> the lax.scan body + tiled one-carry K build
+               lambda *a: exact.nll_vg_streamed(*a, tile=15)):
         f_an, g_an = fn(SE_ARD, h, x_d, y_d)
         np.testing.assert_allclose(float(f_an), float(f_ad), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g_an), np.asarray(g_ad),
@@ -286,3 +288,23 @@ def test_seed_determinism(toy_problem):
     nb = b.train_multistart(n_starts=4)
     assert na == nb
     np.testing.assert_array_equal(a.get_hyp(), b.get_hyp())
+
+
+def test_set_k_streamed_matches_set_k():
+    """set_k_streamed (host-loop rescue, ~1x N^2 peak for HBM-bound N)
+    reproduces set_k exactly, including the noise-inflation schedule
+    (GP.cpp:431-440) on a singular Kcov."""
+    rng = np.random.default_rng(1)
+    n, d = 96, 4
+    X = np.repeat(rng.standard_normal((n // 2, d)), 2, axis=0)  # singular
+    y = rng.standard_normal(n)
+    from gp_tpu.models.base import default_hyps
+    hyp = jnp.asarray(default_hyps(SE_ARD, X, y, 1e-3, False))
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    for h in (hyp, hyp.at[-1 - 1].set(jnp.log(1e-12))):  # default / forced rescue
+        h0, f0, iv0 = exact.set_k(SE_ARD, h, Xj, yj)
+        h1, f1, iv1 = exact.set_k_streamed(SE_ARD, h, Xj, yj, tile=32)
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(iv0), np.asarray(iv1),
+                                   rtol=1e-6)

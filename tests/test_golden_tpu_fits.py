@@ -1,0 +1,66 @@
+"""Pin the recorded real-TPU full-fit golden records (VERDICT r1 item 2).
+
+Each record in benchmarks/golden/tpu_fit_*.json stores the hyps a full
+MLE fit reached ON THE CHIP plus `oracle_f64_nll`, the independent
+NumPy-f64 oracle's NLL at exactly those hyps (command recorded in
+`oracle_cmd`).  These tests re-evaluate the library's own f64 NLL at the
+recorded hyps and require:
+
+  1. library-f64 == oracle-f64 at the optimum (same algebra, ~1e-10) —
+     the full-size analog of test_golden.py's N=500 parity, at the
+     reference driver's actual workload size (mygp.cpp:15 default
+     N=8000);
+  2. the chip's recorded f32 final NLL is within f32 evaluation error of
+     the f64 oracle at the same point (<= 1e-4 nats/point).
+
+The N=16384 record costs an ~N^3 f64 CPU Cholesky to verify; it runs
+only under GP_TPU_SLOW_TESTS=1 (the oracle value itself took 451 s to
+produce and is pinned in the JSON either way).
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_tpu import SE_ARD
+from gp_tpu.models import exact
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks", "golden")
+REF_DATA = "/root/reference/data"
+
+
+def _check_record(rec, X, y):
+    hyp = jnp.asarray(rec["hyp"], jnp.float64)
+    f = exact.nll_raw(SE_ARD, hyp, jnp.asarray(X, jnp.float64),
+                      jnp.asarray(y, jnp.float64))
+    np.testing.assert_allclose(float(f), rec["oracle_f64_nll"], rtol=1e-9)
+    n = X.shape[0]
+    per_point = abs(rec["final_nll"] - rec["oracle_f64_nll"]) / n
+    assert per_point < 1e-4, (
+        f"chip f32 NLL off oracle by {per_point:.2e} nats/point")
+
+
+def test_tpu_fit_n8000_record():
+    rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n8000.json")))
+    from gp_tpu.utils.io import read_matrix
+    X = read_matrix(os.path.join(REF_DATA, "train_x"))[:8000]
+    y = read_matrix(os.path.join(REF_DATA, "train_y"))[:8000].ravel()
+    _check_record(rec, X, y)
+    # the fit must actually have learned something: recorded held-out
+    # RMSE far below the constant-mean baseline (~47.1 on this data)
+    assert rec["heldout_rmse"] < 15.0
+
+
+@pytest.mark.skipif(not os.environ.get("GP_TPU_SLOW_TESTS"),
+                    reason="N=16384 f64 oracle evaluation (~2 min CPU)")
+def test_tpu_fit_n16384_record():
+    import sys
+    sys.path.insert(0, os.path.dirname(GOLDEN))
+    from synth import make_data
+    rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n16384.json")))
+    X, y = make_data(16384, 10, seed=rec.get("seed", 42))
+    _check_record(rec, X, y)

@@ -1,0 +1,181 @@
+"""Column-slab matrix storage (ops/slabbed.py) — the N > 46340 path.
+
+On XLA:TPU a single buffer past 2^31 elements silently corrupts in-place
+updates (int32 fusion addressing), so the large-N exact-GP paths store
+K/L as a tuple of column slabs.  These tests pin the slab algebra against
+dense references on CPU with tiny blocks, including the identity-padding
+of non-block-multiple N and the end-to-end model dispatch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gp_tpu  # noqa: F401  (enables x64 and test config)
+from gp_tpu import SE_ARD
+from gp_tpu.models import exact
+from gp_tpu.ops import slabbed
+from gp_tpu.ops.chol import chol_logdet, chol_ok, chol_solve, solve_lower
+
+
+def _spd(n, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return jnp.asarray((A @ A.T + n * np.eye(n)).astype(dtype))
+
+
+def _to_slabs(K, width):
+    n = K.shape[0]
+    return tuple(K[:, t0:min(n, t0 + width)] for t0 in range(0, n, width))
+
+
+@pytest.mark.parametrize("n,block,width", [(384, 64, 128), (256, 64, 256)])
+def test_slabbed_cholesky_matches_dense(n, block, width):
+    K = _spd(n)
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    slabs = slabbed.slabbed_cholesky(_to_slabs(K, width), block=block,
+                                     base_block=32)
+    L = np.concatenate([np.asarray(s) for s in slabs], axis=1)
+    np.testing.assert_allclose(L, L_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_slabbed_solves_and_logdet():
+    n, block, width = 384, 64, 128
+    K = _spd(n, seed=1)
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    slabs = slabbed.slabbed_cholesky(_to_slabs(K, width), block=block,
+                                     base_block=32)
+    rng = np.random.default_rng(2)
+    for b in (jnp.asarray(rng.standard_normal(n)),
+              jnp.asarray(rng.standard_normal((n, 5)))):
+        np.testing.assert_allclose(
+            np.asarray(slabbed.slabbed_solve_lower(slabs, b)),
+            np.linalg.solve(L_ref, np.asarray(b)), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(slabbed.slabbed_chol_solve(slabs, b)),
+            np.linalg.solve(np.asarray(K), np.asarray(b)),
+            rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(float(slabbed.slabbed_logdet(slabs)),
+                               float(np.linalg.slogdet(np.asarray(K))[1]),
+                               rtol=1e-10)
+    # chol.py dispatches the tuple type to the slab implementations
+    b = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(chol_solve(slabs, b)),
+                               np.linalg.solve(np.asarray(K), np.asarray(b)),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(solve_lower(slabs, b)),
+                               np.linalg.solve(L_ref, np.asarray(b)),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(chol_logdet(slabs)),
+                               float(np.linalg.slogdet(np.asarray(K))[1]),
+                               rtol=1e-10)
+    assert bool(chol_ok(slabs))
+
+
+def test_build_k_noise_slabs_padding():
+    """Non-block-multiple N pads with an identity tail; the padded factor
+    is blockdiag(L, I) and solves slice back exactly."""
+    rng = np.random.default_rng(3)
+    n, d, block = 100, 3, 32
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    chyp = jnp.zeros(d + 1)
+    sn2 = 0.25
+    slabs = slabbed.build_k_noise_slabs(SE_ARD, chyp, X, sn2, block=block,
+                                        width=64)
+    n_pad = slabs[0].shape[0]
+    assert n_pad == 128 and sum(s.shape[1] for s in slabs) == n_pad
+    K_pad = np.concatenate([np.asarray(s) for s in slabs], axis=1)
+    K_ref = np.asarray(SE_ARD.k(chyp, X, X) + sn2 * jnp.eye(n))
+    np.testing.assert_allclose(K_pad[:n, :n], K_ref, rtol=1e-12, atol=1e-12)
+    assert np.all(K_pad[n:, :n] == 0) and np.all(K_pad[:n, n:] == 0)
+    np.testing.assert_allclose(K_pad[n:, n:], np.eye(n_pad - n))
+
+    Lslabs = slabbed.slabbed_cholesky(slabs, block=block, base_block=32)
+    y = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(chol_solve(Lslabs, y)),
+                               np.linalg.solve(K_ref, np.asarray(y)),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(chol_logdet(Lslabs)),
+                               float(np.linalg.slogdet(K_ref)[1]),
+                               rtol=1e-10)
+
+
+def test_slabbed_non_spd_detected():
+    n, block, width = 128, 32, 64
+    K = np.array(_spd(n, seed=4))
+    K[70, 70] = -5.0              # indefinite
+    slabs = slabbed.slabbed_cholesky(_to_slabs(jnp.asarray(K), width),
+                                     block=block, base_block=32)
+    assert not bool(chol_ok(slabs))
+
+
+def test_streamed_objective_slab_path(monkeypatch):
+    """nll_vg_streamed with slabs forced on matches the dense analytic
+    path to full precision (build, factor, solves, logdet, gradient)."""
+    rng = np.random.default_rng(5)
+    n, d = 96, 4
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    from gp_tpu.models.base import default_hyps
+    hyp = jnp.asarray(default_hyps(SE_ARD, np.asarray(X), np.asarray(y),
+                                   1e-3, False))
+    f_ref, g_ref = exact.nll_vg_raw(SE_ARD, hyp, X, y)
+    monkeypatch.setattr(slabbed, "MAX_SLAB_ELEMS", 1024)
+    assert slabbed.use_slabs(n)
+    f, g = exact.nll_vg_streamed(SE_ARD, hyp, X, y, tile=32)
+    np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_gp_end_to_end_slab_path(monkeypatch):
+    """Full train + predict through GP with the streamed/slab thresholds
+    forced down: must reproduce the default path bit-for-bit decisions
+    (same optimum) and serve identical predictions."""
+    rng = np.random.default_rng(6)
+    n, d = 96, 3
+    X = np.sort(rng.standard_normal((n, d)), axis=0)
+    f0 = np.sin(2.0 * X[:, 0]) + 0.2 * X[:, 1]
+    y = f0 + 0.1 * rng.standard_normal(n)
+    Xs = rng.standard_normal((7, d))
+
+    from gp_tpu import GP
+    ref = GP(X, y)
+    nll_ref = ref.train()
+    mu_ref, s2_ref = ref.batch_predict(Xs)
+
+    monkeypatch.setattr(slabbed, "MAX_SLAB_ELEMS", 1024)
+    monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+    gp = GP(X, y)
+    nll = gp.train()
+    mu, s2 = gp.batch_predict(Xs)
+    np.testing.assert_allclose(nll, nll_ref, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_slab_posterior_checkpoint_roundtrip(monkeypatch, tmp_path):
+    """save/load of a model whose cached factor is a slab tuple."""
+    rng = np.random.default_rng(7)
+    n, d = 80, 2
+    X = rng.standard_normal((n, d))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(n)
+    monkeypatch.setattr(slabbed, "MAX_SLAB_ELEMS", 1024)
+    monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+    from gp_tpu import GP
+    gp = GP(X, y)
+    gp.train()
+    assert isinstance(gp._post[0], tuple)   # the slab path was exercised
+    Xs = rng.standard_normal((5, d))
+    mu_ref, s2_ref = gp.batch_predict(Xs)
+    path = str(tmp_path / "slab_ckpt.npz")
+    gp.save(path)
+    gp2 = GP.load(path)
+    mu, s2 = gp2.batch_predict(Xs)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
+                               rtol=1e-12)
