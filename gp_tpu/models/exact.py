@@ -55,9 +55,17 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
     sn2 = hyp_sn2(hyp)
     mean = hyp_mean(hyp)
     n = x.shape[0]
+    r = y - mean
+    if solver.name == "chol" and n >= _STREAM_MIN_N:
+        # HBM-bound N: build + factor at ~1x N^2 peak (streamed/slabbed);
+        # the dense K build below holds two N^2 buffers — measured OOM
+        from ..ops.chol import chol_logdet, chol_solve
+        L = _factor_k_noise(kernel, chyp, x, sn2, tile=2048)
+        alpha = chol_solve(L, r)
+        return (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
+                + 0.5 * n * jnp.log(2 * jnp.pi))
     K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
     f = solver.factor(K)
-    r = y - mean
     alpha = solver.solve(f, r)
     data_fit = 0.5 * jnp.dot(r, alpha)
     norm_const = 0.5 * n * jnp.log(2 * jnp.pi)

@@ -129,6 +129,25 @@ def test_streamed_objective_slab_path(monkeypatch):
                                rtol=1e-8, atol=1e-10)
 
 
+def test_nll_raw_streamed_routing(monkeypatch):
+    """nll_raw's HBM-bound routing (feasibility probe + MVMO search path)
+    equals the dense form, slabs on and off."""
+    rng = np.random.default_rng(8)
+    n, d = 96, 4
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    from gp_tpu.models.base import default_hyps
+    hyp = jnp.asarray(default_hyps(SE_ARD, np.asarray(X), np.asarray(y),
+                                   1e-3, False))
+    ref = float(exact.nll_raw(SE_ARD, hyp, X, y))
+    monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+    np.testing.assert_allclose(float(exact.nll_raw(SE_ARD, hyp, X, y)),
+                               ref, rtol=1e-12)
+    monkeypatch.setattr(slabbed, "MAX_SLAB_ELEMS", 1024)
+    np.testing.assert_allclose(float(exact.nll_raw(SE_ARD, hyp, X, y)),
+                               ref, rtol=1e-12)
+
+
 def test_gp_end_to_end_slab_path(monkeypatch):
     """Full train + predict through GP with the streamed/slab thresholds
     forced down: must reproduce the default path bit-for-bit decisions
