@@ -187,6 +187,16 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     from ..ops.chol import chol_logdet, chol_solve
 
     n, d = x.shape
+    # snap the tile to a divisor of n: the divisible case runs ONE compiled
+    # scan body (one set of (tile, n) temps live), while the unrolled
+    # fallback lets the scheduler overlap iterations and keep several such
+    # panels live at once — measured 20.1 GB (OOM) inside the full fit
+    # program at N=51200 with the non-dividing default tile
+    if n > tile and n % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and n % t == 0:
+                tile = t
+                break
     nc = kernel.num_hyp(d)
     chyp = hyp[:nc]
     sn2 = hyp_sn2(hyp)
