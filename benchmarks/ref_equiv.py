@@ -308,16 +308,29 @@ def train_sparse(model, n=8000, m=512, max_eval=None, noise_lb=1e-3):
 
 def gp_nll(hyp, X, y):
     """Exact-GP NLL only (no O(N^3) explicit inverse) — for large-N
-    one-eval parity checks."""
+    one-eval parity checks.
+
+    Memory-lean on purpose: at N=51200 a f64 K is 21 GB, so everything
+    (sqdist, exp, noise, Cholesky) happens in ONE buffer — same math as
+    sqdist()+dense build, just with out= / overwrite_a."""
     n, d = X.shape
     ell = np.exp(hyp[:d])
     sf2 = np.exp(2.0 * hyp[d])
     sn2 = np.exp(2.0 * hyp[d + 1])
     Xs = X / ell
-    K = sf2 * np.exp(-0.5 * sqdist(Xs, Xs)) + sn2 * np.eye(n)
-    L = sla.cholesky(K, lower=True)
+    K = Xs @ Xs.T                                   # one N^2 buffer
+    sq = np.einsum("ij,ij->i", Xs, Xs)
+    K *= -2.0
+    K += sq[:, None]
+    K += sq[None, :]
+    np.maximum(K, 0.0, out=K)
+    K *= -0.5
+    np.exp(K, out=K)
+    K *= sf2
+    K.flat[:: n + 1] += sn2
+    L = sla.cholesky(K, lower=True, overwrite_a=True, check_finite=False)
     r = y - hyp[d + 2]
-    alpha = sla.cho_solve((L, True), r)
+    alpha = sla.cho_solve((L, True), r, check_finite=False)
     return (0.5 * r @ alpha + np.log(np.diag(L)).sum()
             + 0.5 * n * np.log(2 * np.pi))
 
