@@ -494,6 +494,17 @@ class GP(GPBase):
         return fun
 
     def _run_local_opt(self, vec0, lb_v, ub_v):
+        if self.solver.name == "chol" and self._x.shape[0] >= _STREAM_MIN_N:
+            # a monolithic 160-eval jitted fit is one multi-ten-minute
+            # device execution at this N — the remote TPU runtime has
+            # crashed mid-program (see lbfgsb_chunked); chunk the SAME
+            # while_loop into bounded re-entries of one compiled program
+            from ..optim.lbfgsb import lbfgsb_chunked
+            dt = self._x.dtype
+            return lbfgsb_chunked(
+                self._objective_closure(), jnp.asarray(vec0, dt),
+                jnp.asarray(lb_v, dt), jnp.asarray(ub_v, dt),
+                max_evals=self._MAX_EVAL)
         return fit(self.kernel, self._noise_free, self._x, self._ys,
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
                    solver=self.solver)

@@ -84,34 +84,14 @@ def _two_loop(state: LBFGSBState) -> jnp.ndarray:
     return -r
 
 
-def lbfgsb_impl(
-    fun: Callable,
-    x0: jnp.ndarray,
-    lb: jnp.ndarray,
-    ub: jnp.ndarray,
-    max_evals: int = 160,
-    tol: float = 1e-8,
-    history: int = 10,
-    max_backtracks: int = 25,
-    armijo_c1: float = 1e-4,
-) -> LBFGSBResult:
-    """Minimize fun over the box [lb, ub] starting from x0.
-
-    fun: x -> (f, g).  max_evals is the reference's NLOPT set_maxeval budget.
-
-    Pure traceable implementation — call inside your own jit (the models do),
-    or use the pre-jitted `lbfgsb` wrapper below.
-    """
+def _lbfgsb_init(fun: Callable, x0, lb, ub, history: int) -> LBFGSBState:
+    """Initial optimizer state (one objective evaluation)."""
     dtype = x0.dtype
     n = x0.shape[0]
     m = history
-    lb = jnp.asarray(lb, dtype)
-    ub = jnp.asarray(ub, dtype)
-
-    x0 = jnp.clip(x0, lb, ub)
+    x0 = jnp.clip(x0, jnp.asarray(lb, dtype), jnp.asarray(ub, dtype))
     f0, g0 = fun(x0)
-
-    init = LBFGSBState(
+    return LBFGSBState(
         x=x0, f=f0, g=g0,
         S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
         rho=jnp.zeros((m,), dtype),
@@ -120,11 +100,30 @@ def lbfgsb_impl(
         done=~jnp.isfinite(f0),
     )
 
+
+def _lbfgsb_run(
+    fun: Callable,
+    init: LBFGSBState,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    stop_evals,
+    tol: float = 1e-8,
+    max_backtracks: int = 25,
+    armijo_c1: float = 1e-4,
+) -> LBFGSBState:
+    """Iterate from `init` until done or `evals >= stop_evals` (traceable;
+    stop_evals may be a traced scalar so chunked drivers re-enter one
+    compiled program with different budgets)."""
+    dtype = init.x.dtype
+    m = init.S.shape[0]
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+
     def proj_grad_norm(x, g):
         return jnp.max(jnp.abs(jnp.clip(x - g, lb, ub) - x))
 
     def cond(st: LBFGSBState):
-        return jnp.logical_and(~st.done, st.evals < max_evals)
+        return jnp.logical_and(~st.done, st.evals < stop_evals)
 
     def body(st: LBFGSBState):
         d = _two_loop(st)
@@ -174,9 +173,79 @@ def lbfgsb_impl(
 
         return jax.lax.cond(accepted, on_accept, on_fail, st)
 
-    final = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def lbfgsb_impl(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    max_evals: int = 160,
+    tol: float = 1e-8,
+    history: int = 10,
+    max_backtracks: int = 25,
+    armijo_c1: float = 1e-4,
+) -> LBFGSBResult:
+    """Minimize fun over the box [lb, ub] starting from x0.
+
+    fun: x -> (f, g).  max_evals is the reference's NLOPT set_maxeval budget.
+
+    Pure traceable implementation — call inside your own jit (the models do),
+    or use the pre-jitted `lbfgsb` wrapper below.
+    """
+    init = _lbfgsb_init(fun, x0, lb, ub, history)
+    final = _lbfgsb_run(fun, init, lb, ub, max_evals, tol=tol,
+                        max_backtracks=max_backtracks, armijo_c1=armijo_c1)
     converged = jnp.isfinite(final.f)
     return LBFGSBResult(final.x, final.f, final.g, final.evals, converged)
+
+
+def lbfgsb_chunked(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    max_evals: int = 160,
+    chunk: int = 16,
+    tol: float = 1e-8,
+    history: int = 10,
+    max_backtracks: int = 25,
+    armijo_c1: float = 1e-4,
+    verbose: bool | None = None,
+) -> LBFGSBResult:
+    """lbfgsb_impl with a host-driven chunk loop: identical state and math,
+    but each XLA execution covers at most ~`chunk` objective evaluations.
+
+    For HBM-scale N a fully-jitted 160-eval fit is one multi-ten-minute
+    device execution; the remote TPU runtime on this image has crashed its
+    worker mid-way through such programs (measured at N=51200).  Re-entering
+    ONE compiled while_loop program with a traced `stop_evals` budget keeps
+    per-execution time bounded (chunk * seconds-per-eval) at zero numerical
+    difference — the carried LBFGSBState is bitwise the same pytree the
+    monolithic loop would have at that evaluation count.
+    """
+    if verbose is None:
+        import os
+        verbose = bool(os.environ.get("GP_TPU_VERBOSE_OPT"))
+    dtype = x0.dtype
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+
+    init_j = jax.jit(lambda v: _lbfgsb_init(fun, v, lb, ub, history))
+    run_j = jax.jit(lambda st, stop: _lbfgsb_run(
+        fun, st, lb, ub, stop, tol=tol, max_backtracks=max_backtracks,
+        armijo_c1=armijo_c1))
+
+    st = init_j(x0)
+    while (not bool(st.done)) and int(st.evals) < max_evals:
+        stop = min(int(st.evals) + chunk, max_evals)
+        st = run_j(st, jnp.asarray(stop, jnp.int32))
+        if verbose:
+            print(f"  lbfgsb_chunked: evals={int(st.evals)} "
+                  f"f={float(st.f):.6f}", flush=True)
+    converged = jnp.isfinite(st.f)
+    return LBFGSBResult(st.x, st.f, st.g, st.evals, converged)
 
 
 lbfgsb = partial(jax.jit, static_argnames=(

@@ -308,3 +308,20 @@ def test_set_k_streamed_matches_set_k():
                                    rtol=1e-12)
         np.testing.assert_allclose(np.asarray(iv0), np.asarray(iv1),
                                    rtol=1e-6)
+
+
+def test_train_chunked_stream_path_matches_default(toy_problem, monkeypatch):
+    """Force the HBM-scale routing (streamed objective + chunked L-BFGS +
+    host-loop set_k) on a toy problem: the fit must agree with the default
+    in-jit pipeline."""
+    from gp_tpu.models import exact as exact_mod
+
+    X, y, _, _ = toy_problem
+    a = GP(X, y)
+    nll_a = a.train()
+    monkeypatch.setattr(exact_mod, "_STREAM_MIN_N", 1)
+    b = GP(X, y)
+    nll_b = b.train()
+    np.testing.assert_allclose(nll_b, nll_a, rtol=5e-6)
+    np.testing.assert_allclose(np.asarray(b.get_hyp()),
+                               np.asarray(a.get_hyp()), rtol=1e-4, atol=1e-6)

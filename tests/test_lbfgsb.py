@@ -122,3 +122,30 @@ def test_infinite_bounds_sampling():
     s = np.asarray(sample_box(jax.random.PRNGKey(3), lb, ub, 100))
     assert np.isfinite(s).all()
     assert (s[:, 0] <= 1.0).all() and (s[:, 1] >= 0.0).all()
+
+
+def test_chunked_matches_monolithic():
+    """lbfgsb_chunked (host-driven bounded re-entries of the while_loop)
+    must be numerically identical to the one-program lbfgsb at every
+    chunk size, including budget-capped and instantly-converged runs."""
+    from gp_tpu.optim.lbfgsb import lbfgsb_chunked, lbfgsb_impl
+
+    def rosen_vg(x):
+        f = jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+        return f, jax.grad(lambda v: jnp.sum(
+            100.0 * (v[1:] - v[:-1] ** 2) ** 2 + (1 - v[:-1]) ** 2))(x)
+
+    x0 = jnp.asarray(np.asarray([-1.2, 1.0, 0.7, -0.5]))
+    lb = jnp.full(4, -2.0)
+    ub = jnp.full(4, 2.0)
+    for max_evals in (7, 60):
+        ref = jax.jit(lambda v: lbfgsb_impl(rosen_vg, v, lb, ub,
+                                            max_evals=max_evals))(x0)
+        for chunk in (1, 3, 16, 200):
+            got = lbfgsb_chunked(rosen_vg, x0, lb, ub,
+                                 max_evals=max_evals, chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(got.x),
+                                          np.asarray(ref.x))
+            np.testing.assert_array_equal(np.asarray(got.f),
+                                          np.asarray(ref.f))
+            assert int(got.evals) == int(ref.evals)
