@@ -494,17 +494,23 @@ class GP(GPBase):
         return fun
 
     def _run_local_opt(self, vec0, lb_v, ub_v):
-        if self.solver.name == "chol" and self._x.shape[0] >= _STREAM_MIN_N:
+        n = self._x.shape[0]
+        if self.solver.name == "chol" and n >= _STREAM_MIN_N:
             # a monolithic 160-eval jitted fit is one multi-ten-minute
-            # device execution at this N — the remote TPU runtime has
-            # crashed mid-program (see lbfgsb_chunked); chunk the SAME
-            # while_loop into bounded re-entries of one compiled program
+            # device execution at this N; the remote TPU runtime kills any
+            # single execution past ~60-100 s (bisected: 8 chained
+            # N=51200 evals at ~51 s run, 16 at ~102 s crash the worker).
+            # Chunk the SAME while_loop into re-entries of one compiled
+            # program sized to ~35 s of device time (O(N^3) eval model
+            # anchored at the measured 6.4 s/eval at N=51200).
             from ..optim.lbfgsb import lbfgsb_chunked
+            s_per_eval = 6.4 * (n / 51200.0) ** 3
+            chunk = int(min(24, max(4, 35.0 / s_per_eval)))
             dt = self._x.dtype
             return lbfgsb_chunked(
                 self._objective_closure(), jnp.asarray(vec0, dt),
                 jnp.asarray(lb_v, dt), jnp.asarray(ub_v, dt),
-                max_evals=self._MAX_EVAL)
+                max_evals=self._MAX_EVAL, chunk=chunk)
         return fit(self.kernel, self._noise_free, self._x, self._ys,
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
                    solver=self.solver)
