@@ -499,18 +499,18 @@ class GP(GPBase):
             # a monolithic 160-eval jitted fit is one multi-ten-minute
             # device execution at this N; the remote TPU runtime kills any
             # single execution past ~60-100 s (bisected: 8 chained
-            # N=51200 evals at ~51 s run, 16 at ~102 s crash the worker).
-            # Chunk the SAME while_loop into re-entries of one compiled
-            # program sized to ~35 s of device time (O(N^3) eval model
-            # anchored at the measured 6.4 s/eval at N=51200).
-            from ..optim.lbfgsb import lbfgsb_chunked
-            s_per_eval = 6.4 * (n / 51200.0) ** 3
-            chunk = int(min(24, max(4, 35.0 / s_per_eval)))
+            # N=51200 evals at ~51 s run, 16 at ~102 s crash the worker),
+            # and the while_loop form of the optimizer executes ~2.6x
+            # slower per eval than straight-line code, so even a 5-eval
+            # lbfgsb_chunked chunk breaches the watchdog here.  Drive the
+            # optimizer from the host instead: one device program per
+            # NLL+gradient evaluation (6.4 s at N=51200) can never hit it.
+            from ..optim.lbfgsb import lbfgsb_hosted
             dt = self._x.dtype
-            return lbfgsb_chunked(
+            return lbfgsb_hosted(
                 self._objective_closure(), jnp.asarray(vec0, dt),
                 jnp.asarray(lb_v, dt), jnp.asarray(ub_v, dt),
-                max_evals=self._MAX_EVAL, chunk=chunk)
+                max_evals=self._MAX_EVAL)
         return fit(self.kernel, self._noise_free, self._x, self._ys,
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
                    solver=self.solver)

@@ -248,6 +248,126 @@ def lbfgsb_chunked(
     return LBFGSBResult(st.x, st.f, st.g, st.evals, converged)
 
 
+def lbfgsb_hosted(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    max_evals: int = 160,
+    tol: float = 1e-8,
+    history: int = 10,
+    max_backtracks: int = 25,
+    armijo_c1: float = 1e-4,
+    verbose: bool | None = None,
+) -> LBFGSBResult:
+    """Host-driven variant of lbfgsb_impl: the two-loop recursion, the
+    projection and the Armijo line search run on the host (numpy, in the
+    model dtype), and each device execution is exactly ONE objective
+    evaluation.
+
+    Why this exists: the remote TPU runtime on this image kills any single
+    XLA execution past its ~60-100 s watchdog (bisected at N=51200), and the
+    device-side while_loop form of the optimizer executes ~2.6x slower per
+    evaluation than a straight-line program — so even a 5-evaluation chunk of
+    `lbfgsb_chunked` breaches the watchdog at HBM-scale N, crashing the
+    worker mid-line-search.  Here the longest device program is a single
+    NLL+gradient evaluation (6.4 s at N=51200), which can never hit the
+    watchdog; per-call dispatch (~28 ms) is noise against multi-second evals.
+
+    State stays in the model dtype (numpy f32 math mirrors the on-device f32
+    math) — NOT host f64 — because an f64-state/f32-objective mix lets the
+    line search accept steps at the f32 noise floor and poisons the curvature
+    history (measured stall; see models/base.train).
+    """
+    import os
+
+    import numpy as np
+
+    if verbose is None:
+        verbose = bool(os.environ.get("GP_TPU_VERBOSE_OPT"))
+    dtype = x0.dtype
+    fun_j = jax.jit(fun)
+
+    def feval(x_np):
+        f, g = fun_j(jnp.asarray(x_np, dtype))
+        return np.asarray(f), np.asarray(g)
+
+    npdt = np.dtype(dtype.name if hasattr(dtype, "name") else dtype)
+    one = npdt.type(1.0)
+    lb_n = np.asarray(lb, npdt)
+    ub_n = np.asarray(ub, npdt)
+    x = np.clip(np.asarray(x0, npdt), lb_n, ub_n)
+    f, g = feval(x)
+    evals = 1
+    S: list = []   # oldest -> newest
+    Y: list = []
+    RHO: list = []
+    done = not bool(np.isfinite(f))
+
+    while not done and evals < max_evals:
+        # two-loop recursion (identical to _two_loop, list-form history)
+        q = g.copy()
+        alphas_newest_first = []
+        for s, yv, rho in zip(reversed(S), reversed(Y), reversed(RHO)):
+            a = rho * np.dot(s, q)
+            q = q - a * yv
+            alphas_newest_first.append(a)
+        if S:
+            sy0 = np.dot(S[-1], Y[-1])
+            yy0 = np.dot(Y[-1], Y[-1])
+            gamma = sy0 / yy0 if (sy0 > 0 and yy0 > 0) else one
+        else:
+            gamma = one
+        r = (gamma * q).astype(npdt)
+        for (s, yv, rho), a in zip(zip(S, Y, RHO),
+                                   reversed(alphas_newest_first)):
+            b = rho * np.dot(yv, r)
+            r = r + s * (a - b)
+        d = -r
+        if not np.dot(g, d) < 0:
+            d = -g
+
+        # backtracking Armijo along the projected path
+        t = one
+        accepted = False
+        xt = x
+        ft, gt = f, g
+        for _ in range(max_backtracks):
+            xt = np.clip(x + t * d, lb_n, ub_n)
+            ft, gt = feval(xt)
+            evals += 1
+            dx = xt - x
+            if np.any(dx != 0) and ft <= f + armijo_c1 * np.dot(g, dx):
+                accepted = True
+                break
+            t = t * npdt.type(0.5)
+        if not accepted:
+            break  # no acceptable step: STOPPED (xtol/roundoff)
+
+        s = xt - x
+        yv = gt - g
+        sy = np.dot(s, yv)
+        if sy > 1e-10 * np.linalg.norm(s) * np.linalg.norm(yv):
+            S.append(s)
+            Y.append(yv)
+            RHO.append(one / sy)
+            if len(S) > history:
+                S.pop(0)
+                Y.pop(0)
+                RHO.pop(0)
+        x, f, g = xt, ft, gt
+        if verbose:
+            print(f"  lbfgsb_hosted: evals={evals} f={float(f):.6f}",
+                  flush=True)
+        if np.max(np.abs(np.clip(x - g, lb_n, ub_n) - x)) < tol:
+            done = True  # converged (projected-gradient tolerance)
+
+    converged = jnp.asarray(bool(np.isfinite(f)))
+    return LBFGSBResult(
+        jnp.asarray(x, dtype), jnp.asarray(f, dtype), jnp.asarray(g, dtype),
+        jnp.asarray(evals, jnp.int32), converged)
+
+
 lbfgsb = partial(jax.jit, static_argnames=(
     "fun", "max_evals", "tol", "history", "max_backtracks", "armijo_c1",
 ))(lbfgsb_impl)

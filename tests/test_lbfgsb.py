@@ -149,3 +149,36 @@ def test_chunked_matches_monolithic():
             np.testing.assert_array_equal(np.asarray(got.f),
                                           np.asarray(ref.f))
             assert int(got.evals) == int(ref.evals)
+
+
+def test_hosted_matches_monolithic():
+    """lbfgsb_hosted (host-side math, one device program per evaluation —
+    the HBM-scale driver that can never hit the remote execution watchdog)
+    must reach the same optimum as the jitted while_loop solver.  Host
+    numpy and XLA round f32 dot products differently, so the pin is
+    tolerance-based, not bitwise."""
+    from gp_tpu.optim.lbfgsb import lbfgsb_hosted, lbfgsb_impl
+
+    def rosen_vg(x):
+        f = jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+        return f, jax.grad(lambda v: jnp.sum(
+            100.0 * (v[1:] - v[:-1] ** 2) ** 2 + (1 - v[:-1]) ** 2))(x)
+
+    x0 = jnp.asarray(np.asarray([-1.2, 1.0, 0.7, -0.5]))
+    lb = jnp.full(4, -2.0)
+    ub = jnp.full(4, 2.0)
+    ref = jax.jit(lambda v: lbfgsb_impl(rosen_vg, v, lb, ub,
+                                        max_evals=400))(x0)
+    got = lbfgsb_hosted(rosen_vg, x0, lb, ub, max_evals=400)
+    assert float(got.f) <= float(ref.f) + 1e-8
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-5)
+
+    # budget semantics: at most max_evals + one trailing line search
+    small = lbfgsb_hosted(rosen_vg, x0, lb, ub, max_evals=12)
+    assert int(small.evals) <= 12 + 25
+
+    # INF start terminates immediately (GP.cpp INF-objective semantics)
+    inf_fun = lambda x: (jnp.asarray(INF, x.dtype), jnp.zeros_like(x))
+    bad = lbfgsb_hosted(inf_fun, x0, lb, ub, max_evals=50)
+    assert int(bad.evals) == 1 and not bool(bad.converged)

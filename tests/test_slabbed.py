@@ -150,8 +150,16 @@ def test_nll_raw_streamed_routing(monkeypatch):
 
 def test_gp_end_to_end_slab_path(monkeypatch):
     """Full train + predict through GP with the streamed/slab thresholds
-    forced down: must reproduce the default path bit-for-bit decisions
-    (same optimum) and serve identical predictions."""
+    forced down.  Two pins:
+
+    1. FIXED hyps: the streamed objective + slab set_k + streamed predict
+       must serve (near-)identical predictions to the default in-jit path —
+       the machinery itself is exact.
+    2. Full fit: the HBM-scale routing now drives lbfgsb_hosted (host-side
+       optimizer math, one device program per eval — the remote-watchdog
+       fix), which legitimately lands a few ulps away from the monolithic
+       while_loop optimizer in the same flat basin, so the fit comparison
+       is same-basin, not bitwise."""
     rng = np.random.default_rng(6)
     n, d = 96, 3
     X = np.sort(rng.standard_normal((n, d)), axis=0)
@@ -166,14 +174,27 @@ def test_gp_end_to_end_slab_path(monkeypatch):
 
     monkeypatch.setattr(slabbed, "MAX_SLAB_ELEMS", 1024)
     monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+
+    # 1. fixed-hyps machinery parity (strict)
+    fx = GP(X, y)
+    fx.set_fixed(True)
+    nll_fx = fx.train(ref.get_hyp())
+    mu_fx, s2_fx = fx.batch_predict(Xs)
+    np.testing.assert_allclose(nll_fx, nll_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(mu_fx), np.asarray(mu_ref),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2_fx), np.asarray(s2_ref),
+                               rtol=1e-5, atol=1e-8)
+
+    # 2. full fit through the hosted optimizer (same basin)
     gp = GP(X, y)
     nll = gp.train()
     mu, s2 = gp.batch_predict(Xs)
-    np.testing.assert_allclose(nll, nll_ref, rtol=1e-7)
+    np.testing.assert_allclose(nll, nll_ref, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=2e-2, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
-                               rtol=1e-5, atol=1e-8)
+                               rtol=2e-2, atol=1e-6)
 
 
 def test_slab_posterior_checkpoint_roundtrip(monkeypatch, tmp_path):
