@@ -99,7 +99,21 @@ def fit50k(n=51200, d=10):
     Xs_all, ys_all = make_data(2000, d, seed=7)
     gp = GP(X, y)
     t0 = time.perf_counter()
-    nll = gp.train()
+    try:
+        nll = gp.train()
+    except Exception as e:
+        # train() stores the fitted hyps BEFORE the posterior cache; an
+        # OOM/watchdog failure there must not lose the hour-long fit
+        part = {"metric": f"tpu_exact_fit_n{n}_d{d}_PARTIAL",
+                "error": repr(e), "seed": 42,
+                "hyp": [float(v) for v in np.asarray(gp.get_hyp())],
+                "opt": (repr(gp.last_opt_result)
+                        if gp.last_opt_result is not None else None)}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "golden", f"tpu_fit_n{n}_partial.json")
+        json.dump(part, open(path, "w"), indent=1)
+        print(json.dumps(part))
+        raise
     wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     mu = gp.batch_predict_y(Xs_all)

@@ -344,6 +344,32 @@ def _set_k_attempt(kernel: KernelSpec, chyp, log_sn, x, tile: int = 2048):
     return L, chol_ok(L)
 
 
+@partial(jax.jit, static_argnames=("kernel", "width"))
+def _set_k_attempt_slabbed(kernel: KernelSpec, chyp, log_sn, x,
+                           width: int = 4096):
+    """Slab-regime posterior-factor attempt: build + factor + SPD probe in
+    ONE program, narrow slabs, no donation.
+
+    Two measured hazards shaped this (N=51200 f32, 16 GB chip):
+    * the scheduler interleaves trailing-update GEMM temps from many
+      panels (~8 GB concurrent) — fixed by the per-panel
+      optimization_barrier in slabbed_cholesky plus width 4096, which
+      halves the slab-granularity copy + fragmentation overhead;
+    * donating the K slabs into a separate factor program (input-output
+      aliasing) SILENTLY CORRUPTS the factorization at this size — NaNs
+      from row 3584 on — while the identical math is correct at N=40960
+      and correct at N=51200 when the slabs are program temps.  Another
+      size-dependent in-place defect of this runtime (see ops/slabbed.py
+      module docstring for the first); donation is therefore avoided."""
+    from ..ops.chol import chol_ok, cholesky
+    from ..ops.slabbed import build_k_noise_slabs
+
+    slabs = build_k_noise_slabs(kernel, chyp, x, jnp.exp(2.0 * log_sn),
+                                block=2048, width=width)
+    L = cholesky(slabs)
+    return L, chol_ok(L)
+
+
 @partial(jax.jit, static_argnames=("kernel",))
 def _invkys_from_chol(kernel: KernelSpec, hyp, L, y):
     from ..ops.chol import chol_solve
@@ -365,19 +391,27 @@ def set_k_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
     """
     import math
 
+    from ..ops.slabbed import use_slabs
+
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc].astype(x.dtype)
     log_sn = float(hyp[-2])
     eps = float(jnp.finfo(x.dtype).eps)
 
-    L, ok = _set_k_attempt(kernel, chyp, jnp.asarray(log_sn, x.dtype), x,
-                           tile)
+    if use_slabs(x.shape[0]):
+        attempt = lambda ls: _set_k_attempt_slabbed(
+            kernel, chyp, jnp.asarray(ls, x.dtype), x)  # noqa: E731
+    else:
+        attempt = lambda ls: _set_k_attempt(
+            kernel, chyp, jnp.asarray(ls, x.dtype), x, tile)
+
+    L, ok = attempt(log_sn)
     tries = 0
     while not bool(ok) and tries < max_tries:
         log_sn = (math.log(eps) if math.isinf(log_sn)
                   else log_sn + 0.5 * math.log(10.0))
-        L, ok = _set_k_attempt(kernel, chyp, jnp.asarray(log_sn, x.dtype),
-                               x, tile)
+        L = None  # free the failed factor BEFORE the retry program runs
+        L, ok = attempt(log_sn)
         tries += 1
     hyp = hyp.at[-2].set(jnp.asarray(log_sn, hyp.dtype))
     invKys = _invkys_from_chol(kernel, hyp, L, y)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -151,6 +152,11 @@ def slabbed_cholesky(slabs, block: int | None = None, base_block: int = 256):
             u0, u1 = g0 - starts[t], g1 - starts[t]
             slabs[t] = slabs[t].at[c1:, u0:u1].add(
                 -(pan @ pan[g0 - c1:g1 - c1].T))
+        # Panel barrier: without it the XLA scheduler interleaves GEMM
+        # temps from MANY panels (~8 GB of concurrent (n-c1, B) buffers at
+        # N=51200 — measured OOM on the 16 GB chip even with the K slabs
+        # donated); the barrier bounds live temps to one panel's worth.
+        slabs = list(jax.lax.optimization_barrier(tuple(slabs)))
     return tuple(slabs)
 
 
