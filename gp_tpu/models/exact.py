@@ -175,14 +175,20 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     K^-1-materializing path (nll_vg_raw needs ~4 N^2 buffers; this needs
     ~2: K/L plus one (N, tile) work panel).
 
-    Per column tile I of K^-1 (obtained as chol_solve(L, E_I), never the
-    full inverse), the cotangent rows Q_I = Kinv_I^T - alpha_I alpha^T are
-    contracted IMMEDIATELY against a per-tile rebuild of the kernel rows
-    k(x_I, x) via vjp — recomputing kernel tiles costs O(N^2 d) flops
-    total, nothing at the O(N^3) scale.  This is the out-of-core analog of
-    GP.cpp:151-163's Q-contraction for the regime where the full-gradient
-    working set exceeds HBM (BASELINE N=50k config: K alone is 10 GB f32
-    on a 16 GB v5e).
+    Per column tile I of K^-1, the cotangent rows
+    Q_I = Kinv_I^T - alpha_I alpha^T are contracted IMMEDIATELY against a
+    per-tile rebuild of the kernel rows k(x_I, x) via vjp — recomputing
+    kernel tiles costs O(N^2 d) flops total, nothing at the O(N^3) scale.
+    This is the out-of-core analog of GP.cpp:151-163's Q-contraction for
+    the regime where the full-gradient working set exceeds HBM (BASELINE
+    N=50k config: K alone is 10 GB f32 on a 16 GB v5e).
+
+    K^-1 columns come from T = L^-1 (inverted ONCE, slab-in-place, n^3/3)
+    as Kinv_I = T^T @ T[:, I] — one plain GEMM per tile (n^2 b), total
+    1.67 n^3 FLOPs vs 2.33 n^3 for the two full triangular-solve sweeps
+    per tile this replaces, and GEMMs schedule on the MXU far better than
+    the sequential blocked TRSMs.  tr(K^-1) = ||T||_F^2 falls out free.
+    The TRSM form survives as the fallback when no tile divides n.
     """
     from ..ops.chol import chol_logdet, chol_solve
 
@@ -210,29 +216,68 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
 
     row = jnp.arange(n)
 
-    def tile_terms(j, b):
-        """(g_cov, tr) contribution of K^-1 columns [j, j+b)."""
-        # identity columns j..j+b as a fused iota mask (jnp.roll of an
-        # (n, tile) eye concatenates a (2n, tile) temp — 800 MB at N=51200)
-        E = (row[:, None] == (j + jnp.arange(b))[None, :]).astype(x.dtype)
-        KinvI = chol_solve(L, E)                   # (n, b): columns of K^-1
+    def grad_tile(KinvI, j, b):
+        """g_cov contribution of K^-1 columns [j, j+b) (KinvI: (n, b))."""
         x_I = jax.lax.dynamic_slice(x, (j, 0), (b, x.shape[1]))
         a_I = jax.lax.dynamic_slice(alpha, (j,), (b,))
         Q_I = KinvI.T - a_I[:, None] * alpha[None, :]
         _, k_vjp = jax.vjp(lambda c: kernel.k(c, x_I, x), chyp)
+        return 0.5 * k_vjp(Q_I)[0]
+
+    def tile_terms(j, b):
+        """(g_cov, tr) via triangular solves — the non-dividing-n fallback.
+
+        Identity columns j..j+b as a fused iota mask (jnp.roll of an
+        (n, tile) eye concatenates a (2n, tile) temp — 800 MB at N=51200).
+        """
+        E = (row[:, None] == (j + jnp.arange(b))[None, :]).astype(x.dtype)
+        KinvI = chol_solve(L, E)                   # (n, b): columns of K^-1
         tr = jnp.sum(jax.lax.dynamic_slice(KinvI, (j, 0), (b, b))
                      * jnp.eye(b, dtype=x.dtype))
-        return 0.5 * k_vjp(Q_I)[0], tr
+        return grad_tile(KinvI, j, b), tr
 
     if n % tile == 0 and n > tile:
-        # ONE compiled tile body via lax.scan (at N~50k an unrolled loop
-        # would multiply compile time by the tile count)
-        def body(carry, j):
-            g, tr = tile_terms(j, tile)
-            return (carry[0] + g, carry[1] + tr), None
-        (g_cov, tr_Kinv), _ = jax.lax.scan(
-            body, (jnp.zeros((nc,), x.dtype), jnp.zeros((), x.dtype)),
-            jnp.arange(0, n, tile))
+        from ..ops.slabbed import (slabbed_frobenius_sq, slabbed_t_matmul,
+                                   slabbed_tri_inv)
+        g_cov = jnp.zeros((nc,), x.dtype)
+        if isinstance(L, (tuple, list)):
+            # tiles must not cross slab edges: widths are multiples of the
+            # 2048 build block, so any power-of-two tile <= 2048 divides
+            # them; only a 4096 tile over a non-multiple width needs a cut
+            while any(s.shape[1] % tile for s in L):
+                tile //= 2
+            T = slabbed_tri_inv(L)
+            n_pad = T[0].shape[0]
+            tr_Kinv = slabbed_frobenius_sq(T) - (n_pad - n)
+            # outer loop UNROLLED over slabs (static slab selection), inner
+            # lax.scan over the real-column tiles inside each slab (slab
+            # edges are block multiples, so tiles never cross one)
+            t0 = 0
+            for s in T:
+                w = s.shape[1]
+                ncols = min(w, n - t0)             # real columns only
+                if ncols <= 0:
+                    break
+
+                def body(g, off, s=s, t0=t0):
+                    Tc = jax.lax.dynamic_slice(s, (0, off), (s.shape[0],
+                                                             tile))
+                    KinvI = slabbed_t_matmul(T, Tc)[:n]
+                    return g + grad_tile(KinvI, t0 + off, tile), None
+
+                g_cov, _ = jax.lax.scan(body, g_cov,
+                                        jnp.arange(0, ncols, tile))
+                t0 += w
+        else:
+            from ..ops.blocked import tri_inv
+            T = tri_inv(L)
+            tr_Kinv = jnp.sum(T * T)
+
+            def body(g, j):
+                Tc = jax.lax.dynamic_slice(T, (0, j), (n, tile))
+                return g + grad_tile(T.T @ Tc, j, tile), None
+
+            g_cov, _ = jax.lax.scan(body, g_cov, jnp.arange(0, n, tile))
     else:
         g_cov = jnp.zeros((nc,), x.dtype)
         tr_Kinv = jnp.zeros((), x.dtype)

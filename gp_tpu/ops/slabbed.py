@@ -160,6 +160,66 @@ def slabbed_cholesky(slabs, block: int | None = None, base_block: int = 256):
     return tuple(slabs)
 
 
+def slabbed_tri_inv(slabs, block: int | None = None, base_block: int = 256):
+    """T = L^-1 for a slab-stored lower factor, slab-in-place.
+
+    Backward column-panel sweep (last panel first).  When panel j starts,
+    every column right of it already holds T, so
+    ``T[c1:, c0:c1] = -T[c1:, c1:] @ L[c1:, c0:c1] @ T[c0:c1, c0:c1]``
+    is one tall GEMM per (panel, slab) pair — n^3/3 total FLOPs, all MXU
+    matmuls (vs n^3 per full triangular-solve sweep).  The identity
+    padding tail inverts to itself.  Same per-panel optimization_barrier
+    as slabbed_cholesky (bounds concurrent GEMM temps to one panel).
+
+    This is the slab analog of LAPACK dtrtri feeding the reference's
+    MatrixSolver::inverse (MatrixSolver.cpp:25-28); consumed by the
+    streamed analytic gradient (models/exact.py nll_vg_streamed), where
+    K^-1 columns then come from T^T T as plain GEMMs.
+    """
+    from .blocked import tri_inv
+
+    slabs = list(slabs)
+    starts, n_pad = _starts(slabs)
+    block = block or _solve_block(slabs)
+    assert n_pad % block == 0
+    ns = len(slabs)
+    for j in range(n_pad // block - 1, -1, -1):
+        c0, c1 = j * block, (j + 1) * block
+        s = next(t for t in reversed(range(ns)) if starts[t] <= c0)
+        l0 = c0 - starts[s]
+        Tjj = tri_inv(slabs[s][c0:c1, l0:l0 + block], base=base_block)
+        if c1 < n_pad:
+            pan = slabs[s][c1:, l0:l0 + block]          # L[c1:, c0:c1]
+            G = jnp.zeros((n_pad - c1, block), pan.dtype)
+            for t in range(s, ns):
+                g0 = max(starts[t], c1)
+                g1 = starts[t] + slabs[t].shape[1]
+                if g0 >= g1:
+                    continue
+                u0, u1 = g0 - starts[t], g1 - starts[t]
+                G = G + slabs[t][c1:, u0:u1] @ pan[g0 - c1:g1 - c1]
+            slabs[s] = slabs[s].at[c1:, l0:l0 + block].set(-(G @ Tjj))
+        slabs[s] = slabs[s].at[c0:c1, l0:l0 + block].set(jnp.tril(Tjj))
+        slabs = list(jax.lax.optimization_barrier(tuple(slabs)))
+    return tuple(slabs)
+
+
+def slabbed_frobenius_sq(slabs):
+    """sum of squares of every stored entry (= tr(K~^-1) when the slabs
+    hold T = L~^-1: tr(T^T T) = ||T||_F^2; subtract the identity padding
+    tail's (n_pad - n) at the call site)."""
+    acc = jnp.zeros((), slabs[0].dtype)
+    for s in slabs:
+        acc = acc + jnp.sum(s * s)
+    return acc
+
+
+def slabbed_t_matmul(slabs, B):
+    """T^T @ B for a slab-stored matrix T: one (w_t, n_pad) x (n_pad, b)
+    GEMM per slab, rows emitted in slab (= column) order."""
+    return jnp.concatenate([s.T @ B for s in slabs], axis=0)
+
+
 def slabbed_diagonal(slabs):
     """diag(L~) including the identity padding tail."""
     parts, t0 = [], 0

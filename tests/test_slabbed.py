@@ -110,6 +110,30 @@ def test_slabbed_non_spd_detected():
     assert not bool(chol_ok(slabs))
 
 
+@pytest.mark.parametrize("n,block,width", [(384, 64, 128), (320, 64, 128)])
+def test_slabbed_tri_inv_matches_dense(n, block, width):
+    """T = L^-1 slab-in-place (n=320 exercises an identity padding tail
+    via build_k_noise_slabs' row padding)."""
+    K = _spd(n, seed=11)
+    slabs = _to_slabs(K, width)
+    if n % block:
+        n_pad = -(-n // block) * block
+        pad = [jnp.zeros((n_pad, s.shape[1])).at[:n].set(s) for s in slabs]
+        tail = jnp.zeros((n_pad, n_pad - n)).at[
+            jnp.arange(n, n_pad), jnp.arange(n_pad - n)].set(1.0)
+        slabs = tuple(pad) + (tail,)
+    L = slabbed.slabbed_cholesky(slabs, block=block, base_block=32)
+    T = slabbed.slabbed_tri_inv(L, block=block, base_block=32)
+    Td = np.concatenate([np.asarray(s) for s in T], axis=1)
+    Ld = np.concatenate([np.asarray(s) for s in L], axis=1)
+    np.testing.assert_allclose(Td @ Ld, np.eye(Td.shape[0]),
+                               rtol=1e-10, atol=1e-9)
+    # tr(K^-1) via the Frobenius identity (minus the padding tail)
+    tr = float(slabbed.slabbed_frobenius_sq(T)) - (Td.shape[0] - n)
+    np.testing.assert_allclose(tr, np.trace(np.linalg.inv(np.asarray(K))),
+                               rtol=1e-9)
+
+
 def test_streamed_objective_slab_path(monkeypatch):
     """nll_vg_streamed with slabs forced on matches the dense analytic
     path to full precision (build, factor, solves, logdet, gradient)."""
