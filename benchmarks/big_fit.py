@@ -99,20 +99,32 @@ def fit50k(n=51200, d=10):
     Xs_all, ys_all = make_data(2000, d, seed=7)
     gp = GP(X, y)
     t0 = time.perf_counter()
+    def _safe(fn):
+        # after a RESOURCE_EXHAUSTED, even small device fetches can fail;
+        # every field of the partial record must be independently optional
+        # (the first crash lost an hour-long fit to repr() of a device
+        # array inside this very handler)
+        try:
+            return fn()
+        except Exception as ex:   # noqa: BLE001
+            return f"unavailable: {ex!r}"
+
     try:
         nll = gp.train()
     except Exception as e:
         # train() stores the fitted hyps BEFORE the posterior cache; an
         # OOM/watchdog failure there must not lose the hour-long fit
+        res = gp.last_opt_result
         part = {"metric": f"tpu_exact_fit_n{n}_d{d}_PARTIAL",
                 "error": repr(e), "seed": 42,
-                "hyp": [float(v) for v in np.asarray(gp.get_hyp())],
-                "opt": (repr(gp.last_opt_result)
-                        if gp.last_opt_result is not None else None)}
+                "hyp": _safe(lambda: [float(v) for v in
+                                      np.asarray(gp.get_hyp())]),
+                "opt_f": _safe(lambda: float(res.f)) if res else None,
+                "opt_evals": _safe(lambda: int(res.evals)) if res else None}
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "golden", f"tpu_fit_n{n}_partial.json")
         json.dump(part, open(path, "w"), indent=1)
-        print(json.dumps(part))
+        print(json.dumps(part), flush=True)
         raise
     wall = time.perf_counter() - t0
     t0 = time.perf_counter()

@@ -309,6 +309,16 @@ class GPBase:
         May modify self._hyps (noise inflation / jitter escalation)."""
         raise NotImplementedError
 
+    def _nll_from_posterior(self):
+        """Final NLL derived from the cached posterior, or None to make
+        train() fall back to a fresh nll() evaluation.  Models whose cache
+        holds an N^2 factor override this for the HBM-stream regime, where
+        a second full build+factor NEXT TO the live cache OOMs the chip
+        (measured at N=51200 f32 on 16 GB: train()'s closing
+        nll(self._hyps) RESOURCE_EXHAUSTED after an otherwise complete
+        fit)."""
+        return None
+
     # -- shared pipeline (GP.cpp:183-272 / FITC.cpp:32-108 / VFE.cpp:31-108) -
     def nll(self, hyp=None) -> float:
         """Public NLL evaluation with INF semantics."""
@@ -375,7 +385,8 @@ class GPBase:
         if self._fixhyps:
             self._update_posterior()
             self._trained = True
-            return self.nll(self._hyps)
+            v = self._nll_from_posterior()
+            return v if v is not None else self.nll(self._hyps)
 
         # optimize in the standardized space (float32-conditioning; the
         # optimizer state stays in the model dtype — a float64-state /
@@ -404,7 +415,8 @@ class GPBase:
 
         self._update_posterior()
         self._trained = True
-        return self.nll(self._hyps)
+        v = self._nll_from_posterior()
+        return v if v is not None else self.nll(self._hyps)
 
     def _run_local_opt(self, vec0, lb_v, ub_v):
         raise NotImplementedError

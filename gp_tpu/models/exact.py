@@ -607,6 +607,25 @@ class GP(GPBase):
         self._post = (*f, invKys)
         self._post_dist = None       # single-device posterior supersedes
 
+    def _nll_from_posterior(self):
+        """HBM-stream regime: derive train()'s final NLL from the cached
+        (L, invKys) instead of a second full build+factor — the fresh
+        nll() program next to the live 10.5 GB posterior slabs was a
+        measured RESOURCE_EXHAUSTED at N=51200 f32 on the 16 GB chip.
+        Identical math to nll_raw's streamed branch (GP.cpp:138-143):
+        invKys IS alpha = K^-1 (y - mean) at the post-rescue hyps."""
+        if not (self.solver.name == "chol"
+                and self._x.shape[0] >= _STREAM_MIN_N
+                and self._post is not None):
+            return None
+        from ..ops.chol import chol_logdet
+        L, invKys = self._post[0], self._post[-1]
+        r = self._y - jnp.asarray(hyp_mean(self._hyps), self._y.dtype)
+        n = self._x.shape[0]
+        v = float(0.5 * jnp.dot(r, invKys) + 0.5 * chol_logdet(L)
+                  + 0.5 * n * jnp.log(2 * jnp.pi))
+        return v if np.isfinite(v) else INF
+
     def _factors(self):
         return tuple(self._post[:-1])
 
