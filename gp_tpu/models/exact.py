@@ -64,7 +64,8 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
         alpha = chol_solve(L, r)
         return (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
                 + 0.5 * n * jnp.log(2 * jnp.pi))
-    K = kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
+    from ..ops.blocked import add_diag
+    K = add_diag(kernel.k(chyp, x, x), sn2)   # O(N) vs the N^2 eye-add
     f = solver.factor(K)
     alpha = solver.solve(f, r)
     data_fit = 0.5 * jnp.dot(r, alpha)
@@ -92,8 +93,8 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     through the factorization (AD backward measured at 2.7x the forward).
     NaN/inf propagate (caller sanitizes).  Cholesky-only.
     """
-    from ..ops.blocked import spd_inv_from_chol
-    from ..ops.chol import chol_logdet, chol_solve, cholesky
+    from ..ops.blocked import add_diag, spd_inv_from_chol
+    from ..ops.chol import chol_logdet, cholesky
 
     nc = kernel.num_hyp(x.shape[1])
     chyp = hyp[:nc]
@@ -103,7 +104,10 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
 
     build = lambda c: kernel.k(c, x, x)
     K0, k_vjp = jax.vjp(build, chyp)
-    L = cholesky(K0 + sn2 * jnp.eye(n, dtype=x.dtype))
+    # O(N) diagonal scatter instead of + sn2*eye (full N^2 select+add);
+    # zero_upper=False: everything downstream (tri_inv strips, logdet
+    # diagonal) reads only the lower triangle
+    L = cholesky(add_diag(K0, sn2), zero_upper=False)
     r = y - mean
     Kinv = spd_inv_from_chol(L)
     # alpha from the (already needed) explicit inverse: one O(N^2) matvec
@@ -131,7 +135,8 @@ def _build_k_noise_tiled(kernel: KernelSpec, chyp, x, sn2, tile: int):
     with the diagonal noise fused into each panel via an iota mask."""
     n = x.shape[0]
     if n % tile or n <= tile:
-        return kernel.k(chyp, x, x) + sn2 * jnp.eye(n, dtype=x.dtype)
+        from ..ops.blocked import add_diag
+        return add_diag(kernel.k(chyp, x, x), sn2)
 
     col = jnp.arange(n)
 
@@ -352,15 +357,15 @@ def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
     Returns (hyp', factors, invKys) — hyp' may carry inflated noise, as the
     reference mutates _hyps.
     """
+    from ..ops.blocked import add_diag
+
     nc = kernel.num_hyp(x.shape[1])
     Kcov = kernel.k(hyp[:nc], x, x)
-    n = x.shape[0]
-    eye = jnp.eye(n, dtype=x.dtype)
     eps = jnp.asarray(jnp.finfo(x.dtype).eps, x.dtype)
     log_sn0 = jnp.asarray(hyp[-2], x.dtype)
 
     def factor(ls):
-        return solver.factor(Kcov + jnp.exp(2.0 * ls) * eye)
+        return solver.factor(add_diag(Kcov, jnp.exp(2.0 * ls)))
 
     def cond(state):
         f, ls, tries = state

@@ -36,7 +36,7 @@ from jax.scipy.linalg import solve_triangular
 
 
 def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
-                     panel_inv: bool = True):
+                     panel_inv: bool = True, zero_upper: bool = True):
     """Lower Cholesky factor of K (n x n), right-looking with block panels.
 
     The diagonal BxB factorization recurses down to `base_block` before
@@ -47,6 +47,14 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
     against tri_inv(Ljj) — the B^3/3 inversion is tiny next to the
     B^2 (n-c) solve it replaces, and the GEMM runs at MXU speed where the
     many-rhs triangular solve does not.
+
+    zero_upper=False skips the per-panel upper-strip zeroing (N^2/2 HBM
+    writes): the strictly-upper part of the result then holds K leftovers.
+    Safe for consumers that only read the lower triangle + diagonal —
+    solve_triangular(lower=True), tri_inv / spd_inv_from_chol (strips and
+    tril'd diagonal blocks), chol_logdet / chol_ok (diagonal) — i.e. the
+    whole fused objective path.  Keep True for factors that are cached,
+    checkpointed, or compared densely.
     """
     n = K.shape[0]
     if n <= base_block or block % base_block:
@@ -57,7 +65,8 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
         Kp = jnp.zeros((n + p, n + p), K.dtype)
         Kp = Kp.at[:n, :n].set(K)
         Kp = Kp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
-        return blocked_cholesky(Kp, block, base_block, panel_inv)[:n, :n]
+        return blocked_cholesky(Kp, block, base_block, panel_inv,
+                                zero_upper)[:n, :n]
 
     def base(Kb):
         m = Kb.shape[0]
@@ -76,16 +85,30 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
         if c1 < n:
             if panel_inv:
                 Tjj = tri_inv(Ljj, base=base_block)
-                pan = L[c1:, c0:c1] @ Tjj.T
+                pan = ut_matmul(L[c1:, c0:c1], Tjj.T)
             else:
                 pan = solve_triangular(Ljj, L[c1:, c0:c1].T, lower=True).T
             L = L.at[c1:, c0:c1].set(pan)
             L = L.at[c1:, c1:].add(-(pan @ pan.T))
-            # zero this block row's upper strip IN PLACE: a trailing
-            # jnp.tril(L) materializes a second N^2 buffer (9.8 GB at
-            # N=51200 f32 — measured OOM); these DUS writes alias L
-            L = L.at[c0:c1, c1:].set(jnp.zeros((block, n - c1), L.dtype))
+            if zero_upper:
+                # zero this block row's upper strip IN PLACE: a trailing
+                # jnp.tril(L) materializes a second N^2 buffer (9.8 GB at
+                # N=51200 f32 — measured OOM); these DUS writes alias L
+                L = L.at[c0:c1, c1:].set(
+                    jnp.zeros((block, n - c1), L.dtype))
     return L
+
+
+def add_diag(K, c):
+    """K + c*I without materializing the N^2 eye/select: one O(N) scatter.
+
+    `K + c * jnp.eye(n)` costs a full N^2 iota-compare-select plus a
+    read+write of K (XLA cannot fuse it into a preceding custom-call K
+    build); this is the O(N) in-place form.
+    """
+    n = K.shape[-1]
+    idx = jnp.arange(n)
+    return K.at[..., idx, idx].add(c)
 
 
 def blocked_solve_lower(L, B, block: int = 1024):
@@ -142,17 +165,54 @@ def blocked_chol_solve(L, B, block: int = 1024):
     return blocked_solve_lower_t(L, blocked_solve_lower(L, B, block), block)
 
 
-def tri_inv(L, base: int = 512):
+def lt_matmul(A, T, cutoff: int = 2048):
+    """A @ T for LOWER-triangular T (m x m), exploiting the zero upper
+    triangle by recursive splitting:
+
+        T = [[T11, 0], [T21, T22]]  =>  A @ T = [A1@T11 + A2@T21, A2@T22]
+
+    The off-diagonal contribution is a dense GEMM; the diagonal blocks
+    recurse until `cutoff`, below which the zeros are cheaper than another
+    split.  ~k m^2 FLOPs (vs 2 k m^2 dense) at full depth; `cutoff` keeps
+    every GEMM MXU-fat.
+    """
+    m = T.shape[0]
+    if m <= cutoff:
+        return A @ T
+    h = m // 2
+    out_l = lt_matmul(A[:, :h], T[:h, :h], cutoff) + A[:, h:] @ T[h:, :h]
+    out_r = lt_matmul(A[:, h:], T[h:, h:], cutoff)
+    return jnp.concatenate([out_l, out_r], axis=1)
+
+
+def ut_matmul(A, U, cutoff: int = 2048):
+    """A @ U for UPPER-triangular U (m x m); mirror of lt_matmul:
+
+        U = [[U11, U12], [0, U22]]  =>  A @ U = [A1@U11, A1@U12 + A2@U22]
+    """
+    m = U.shape[0]
+    if m <= cutoff:
+        return A @ U
+    h = m // 2
+    out_l = ut_matmul(A[:, :h], U[:h, :h], cutoff)
+    out_r = A[:, :h] @ U[:h, h:] + ut_matmul(A[:, h:], U[h:, h:], cutoff)
+    return jnp.concatenate([out_l, out_r], axis=1)
+
+
+def tri_inv(L, base: int = 512, cutoff: int = 2048):
     """Inverse of a lower-triangular L, MXU-blocked.
 
     All diagonal base-blocks invert in ONE batched (vmapped) triangular
     solve; the off-diagonal fill is strip forward-substitution — per block
     row k, one GEMM  S = L[row, :c0] @ T[:c0, :c0]  then  -Td[k] @ S —
     writing each strip into a single preallocated T (in-place under XLA
-    buffer assignment).  ~(2/3) N^3 FLOPs, all on the MXU.  (A recursive
-    merge variant hit the optimal N^3/3 but spent more than that moving
-    O(N^2 log N) bytes through its per-level assemblies — measured 10.3 ms
-    vs ~6 ms for this form at N=8192 f32 on v5e.)
+    buffer assignment).  The strip GEMM's right operand is itself lower
+    triangular, so it routes through lt_matmul: ~N^3/3 total FLOPs, all on
+    the MXU.  (An earlier recursive *merge* variant also hit N^3/3 but
+    spent more than that moving O(N^2 log N) bytes through its per-level
+    assemblies — measured 10.3 ms vs ~6 ms for the strip form at N=8192
+    f32 on v5e; lt_matmul splits only the operand, keeping the strip
+    writes in-place.)
     """
     n = L.shape[0]
     if n <= base:
@@ -177,7 +237,7 @@ def tri_inv(L, base: int = 512):
     T = jnp.zeros((n, n), L.dtype).at[:base, :base].set(Td[0])
     for k in range(1, nb):
         c0, c1 = k * base, (k + 1) * base
-        S = L[c0:c1, :c0] @ T[:c0, :c0]           # (b, c0) GEMM
+        S = lt_matmul(L[c0:c1, :c0], T[:c0, :c0], cutoff)  # (b, c0) GEMM
         T = T.at[c0:c1, :c0].set(-(Td[k] @ S))
         T = T.at[c0:c1, c0:c1].set(Td[k])
     return T
@@ -186,9 +246,12 @@ def tri_inv(L, base: int = 512):
 def spd_inv_from_chol(L, block: int = 1024, base: int = 256):
     """K^-1 from K = L L^T as T^T T with T = L^-1 (GEMM-rich dpotri analog).
 
-    The column sweep exploits T's triangularity: column block J starting at
-    row c0 only contracts rows >= c0, so the total GEMM work is ~N^3
-    instead of the dense 2 N^3.  Replaces `chol_solve(L, I)` (two
+    lauum-style symmetric product: K^-1 is symmetric, so only its block
+    lower triangle is computed — row strip i is one
+    (b x n-c0) @ (n-c0 x c0) GEMM (T's rows above c0 in those columns are
+    zero) plus a (b x b) diagonal SYRK — then mirrored by writing each
+    strip and its transpose.  ~N^3/3 GEMM FLOPs, versus ~N^3 for the
+    full-column sweep it replaces.  Replaces `chol_solve(L, I)` (two
     latency-bound triangular sweeps with N right-hand sides) in the
     analytic-gradient path (GP.cpp:154: `inverse()`).
     """
@@ -205,8 +268,13 @@ def spd_inv_from_chol(L, block: int = 1024, base: int = 256):
         return spd_inv_from_chol(Lp, block, base)[:n, :n]
     T = tri_inv(L, base)
     nb = n // block
-    cols = []
-    for j in range(nb):
-        c0 = j * block
-        cols.append(T[c0:, :].T @ T[c0:, c0:c0 + block])
-    return jnp.concatenate(cols, axis=1)
+    A = jnp.zeros((n, n), L.dtype)
+    for i in range(nb):
+        c0, c1 = i * block, (i + 1) * block
+        R = T[c0:, c0:c1]                      # (n-c0, b)
+        if c0:
+            S = R.T @ T[c0:, :c0]              # strictly-lower strip
+            A = A.at[c0:c1, :c0].set(S)
+            A = A.at[:c0, c0:c1].set(S.T)
+        A = A.at[c0:c1, c0:c1].set(R.T @ R)    # symmetric diagonal block
+    return A

@@ -49,19 +49,24 @@ def _is_slabs(L) -> bool:
     return isinstance(L, (tuple, list))
 
 
-def cholesky(K):
+def cholesky(K, zero_upper: bool = True):
     """Lower Cholesky factor; rows from the first failing pivot are NaN.
 
     Large factorizations on TPU route to the blocked MXU implementation
     (ops/blocked.py) — same semantics, ~1.4-2x faster forward and much
     cheaper under autodiff (the backward pass becomes blocked matmuls).
-    A slab-tuple K (ops/slabbed.py) factors slab-in-place."""
+    A slab-tuple K (ops/slabbed.py) factors slab-in-place.
+
+    zero_upper=False (blocked TPU path only) leaves K leftovers in the
+    strictly-upper triangle, skipping N^2/2 HBM writes — safe when the
+    factor only feeds lower-triangle readers (see blocked_cholesky)."""
     if _is_slabs(K):
         from .slabbed import slabbed_cholesky
         return slabbed_cholesky(K)
     if K.ndim == 2 and _use_blocked(K.shape[-1]):
         from .blocked import blocked_cholesky
-        return blocked_cholesky(K, block=_block_for(K.shape[-1]))
+        return blocked_cholesky(K, block=_block_for(K.shape[-1]),
+                                zero_upper=zero_upper)
     return jnp.linalg.cholesky(K)
 
 

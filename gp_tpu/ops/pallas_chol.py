@@ -84,6 +84,88 @@ def _chol_call(K, interpret: bool):
         )(K)
 
 
+def _chol_panel_kernel(k_ref, o_ref, *, b: int, w: int):
+    """Left-looking rank-w micro-panel factorization, entirely in VMEM.
+
+    Per (statically unrolled) micro-panel p:
+      1. one MXU GEMM  C = A[:, pw:pw+w] - L @ L[pw:pw+w, :].T  — L's
+         not-yet-factored columns are still zero, so no masking is needed;
+      2. a w-step rank-1 loop confined to the (b, w) panel (O(b w^2) VPU
+         work instead of the O(b^2) full-block masking of _chol_kernel);
+      3. one static column-block write into L.
+
+    Total: b/w GEMMs + b rank-1 steps on (b, w) panels — the O(b^3) is all
+    MXU, the VPU work drops from O(b^3) to O(b^2 w).
+    """
+    A = k_ref[:]
+    L = jnp.zeros_like(A)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)      # (b, 1)
+    pcols = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)     # (b, w)
+
+    for p0 in range(0, b, w):
+        # 1. panel update: (b, b) @ (b, w) MXU GEMM against factored L
+        Lp = jax.lax.dot_general(
+            L, L[p0:p0 + w, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=A.dtype,
+            precision=jax.lax.Precision.HIGHEST)               # (b, w)
+        C = A[:, p0:p0 + w] - Lp
+
+        # 2. factor the w columns of the panel (dynamic c, masked on (b, w))
+        def body(c, C, p0=p0):
+            colv = jnp.sum(jnp.where(pcols == c, C, 0.0), axis=1,
+                           keepdims=True)                      # (b, 1)
+            d = jnp.sum(jnp.where(rows == p0 + c, colv, 0.0))
+            inv = jax.lax.rsqrt(d)
+            l = jnp.where(rows > p0 + c, colv * inv,
+                          jnp.where(rows == p0 + c, d * inv, 0.0))  # (b, 1)
+            # pivot row of C (cols > c), embedded full-shape then reduced
+            u = jnp.sum(jnp.where(rows == p0 + c, C, 0.0), axis=0,
+                        keepdims=True)                         # (1, w)
+            upd = l * inv * u                                  # (b, w) outer
+            C = jnp.where(pcols > c, C - upd, C)
+            return jnp.where(pcols == c, l, C)
+
+        C = jax.lax.fori_loop(0, w, body, C)
+        # 3. one static column-block write
+        L = jax.lax.dynamic_update_slice(L, C, (0, p0))
+
+    o_ref[:] = L
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _chol_panel_call(K, w: int, interpret: bool):
+    b = K.shape[0]
+    import contextlib
+    ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+    with ctx:
+        return pl.pallas_call(
+            functools.partial(_chol_panel_kernel, b=b, w=w),
+            out_shape=jax.ShapeDtypeStruct((b, b), K.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pallas_cholesky_panel(K, w: int = 128):
+    """Rank-w micro-panel Cholesky of one VMEM-resident block."""
+    interpret = jax.default_backend() != "tpu"
+    return _chol_panel_call(K, w, interpret)
+
+
+def _chol_panel_fwd(K, w):
+    L = pallas_cholesky_panel(K, w)
+    return L, L
+
+
+def _chol_panel_bwd(w, L, Lbar):
+    return _chol_bwd(L, Lbar)
+
+
+pallas_cholesky_panel.defvjp(_chol_panel_fwd, _chol_panel_bwd)
+
+
 @jax.custom_vjp
 def pallas_cholesky(K):
     """Lower Cholesky factor of a single VMEM-resident block (<= ~1024)."""

@@ -5,8 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gp_tpu.ops.blocked import (blocked_chol_solve, blocked_cholesky,
-                                blocked_solve_lower, blocked_solve_lower_t)
+from gp_tpu.ops.blocked import (add_diag, blocked_chol_solve,
+                                blocked_cholesky, blocked_solve_lower,
+                                blocked_solve_lower_t, spd_inv_from_chol,
+                                tri_inv)
 
 
 def _spd(n, seed=0):
@@ -63,6 +65,61 @@ def test_blocked_solve_vector_rhs():
     np.testing.assert_allclose(np.asarray(x),
                                np.linalg.solve(np.asarray(K), np.asarray(b)),
                                rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,block", [(512, 128), (520, 128), (100, 128)])
+def test_spd_inv_from_chol(n, block):
+    """lauum-style symmetric product == dense inverse (even + padded +
+    sub-block sizes)."""
+    K = _spd(n, n + 1)
+    L = jnp.linalg.cholesky(K)
+    Ki = spd_inv_from_chol(L, block=block, base=64)
+    np.testing.assert_allclose(np.asarray(Ki), np.linalg.inv(np.asarray(K)),
+                               rtol=1e-8, atol=1e-9)
+    # exactly symmetric by construction (strip + strip.T writes)
+    np.testing.assert_array_equal(np.asarray(Ki), np.asarray(Ki).T)
+
+
+def test_zero_upper_factor_feeds_lower_triangle_readers():
+    """zero_upper=False leaves K junk above the diagonal but every
+    lower-triangle consumer (logdet, tri_inv, spd_inv) is unaffected."""
+    K = _spd(512, 9)
+    L_clean = blocked_cholesky(K, block=128, base_block=64)
+    L_fast = blocked_cholesky(K, block=128, base_block=64, zero_upper=False)
+    np.testing.assert_allclose(np.asarray(jnp.tril(L_fast)),
+                               np.asarray(L_clean), rtol=1e-12, atol=1e-12)
+    # strictly-upper junk really is present (the writes were skipped)...
+    assert np.any(np.triu(np.asarray(L_fast), 1) != 0)
+    # ...and invisible to the consumers in the fused objective path
+    np.testing.assert_allclose(
+        np.asarray(spd_inv_from_chol(L_fast, block=128, base=64)),
+        np.asarray(spd_inv_from_chol(L_clean, block=128, base=64)),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(tri_inv(L_fast, base=64) * np.tri(512)),
+        np.asarray(tri_inv(L_clean, base=64) * np.tri(512)),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_triangular_matmul_helpers():
+    """lt_matmul / ut_matmul == dense product at every recursion depth."""
+    from gp_tpu.ops.blocked import lt_matmul, ut_matmul
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.standard_normal((96, 640)))
+    T = jnp.asarray(np.tril(rng.standard_normal((640, 640))))
+    for cutoff in (64, 100, 640):
+        np.testing.assert_allclose(np.asarray(lt_matmul(A, T, cutoff)),
+                                   np.asarray(A @ T), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ut_matmul(A, T.T, cutoff)),
+                                   np.asarray(A @ T.T), rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_add_diag():
+    K = _spd(130, 3)
+    np.testing.assert_allclose(np.asarray(add_diag(K, 2.5)),
+                               np.asarray(K + 2.5 * jnp.eye(130)),
+                               rtol=1e-15)
 
 
 def test_autodiff_through_blocked_cholesky():

@@ -54,3 +54,35 @@ def test_grad_through_logdet():
     g_ref = jax.grad(lambda s: f(s, jnp.linalg.cholesky))(0.2)
     g_p = jax.grad(lambda s: f(s, pallas_cholesky))(0.2)
     np.testing.assert_allclose(float(g_p), float(g_ref), rtol=1e-9)
+
+
+@pytest.mark.parametrize("n,w", [(64, 8), (128, 32), (128, 128), (256, 64)])
+def test_panel_kernel_matches_stock(n, w):
+    """Rank-w micro-panel variant == stock factor."""
+    from gp_tpu.ops.pallas_chol import pallas_cholesky_panel
+    K = _spd(n, n + w)
+    L = pallas_cholesky_panel(K, w)
+    np.testing.assert_allclose(np.asarray(L),
+                               np.asarray(jnp.linalg.cholesky(K)),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_panel_kernel_nan_on_indefinite():
+    from gp_tpu.ops.pallas_chol import pallas_cholesky_panel
+    K = _spd(64, 3) - 160.0 * jnp.eye(64)
+    assert np.min(np.linalg.eigvalsh(np.asarray(K))) < 0
+    L = pallas_cholesky_panel(K, 16)
+    assert not np.all(np.isfinite(np.asarray(L)))
+
+
+def test_panel_kernel_grad():
+    from gp_tpu.ops.pallas_chol import pallas_cholesky_panel
+    K0 = _spd(64, 7)
+
+    def f(s, chol):
+        L = chol(K0 * jnp.exp(s) + jnp.eye(64))
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    g_ref = jax.grad(lambda s: f(s, jnp.linalg.cholesky))(0.2)
+    g_p = jax.grad(lambda s: f(s, lambda K: pallas_cholesky_panel(K, 16)))(0.2)
+    np.testing.assert_allclose(float(g_p), float(g_ref), rtol=1e-9)
