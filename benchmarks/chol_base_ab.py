@@ -1,15 +1,17 @@
 """A/B the blocked-Cholesky base case on the real chip.
 
-Compares, at base-block sizes B in {256, 512, 1024}:
-  * stock jnp.linalg.cholesky (the current base case),
-  * pallas_cholesky_panel at micro-panel widths w in {8, 32, 128, 256},
-and then the end-to-end blocked factorization at N=8192 with each base.
+Compares, at base-block sizes B in {256, 512, 1024}: stock
+jnp.linalg.cholesky vs pallas_cholesky_panel at micro-panel widths
+w in {8, 32, 128}; then the end-to-end blocked factorization at N=8192
+with the winning base.
 
-Measurement discipline (benchmarks/README.md): distinct inputs per rep
-(diagonal shifts), scalar fetched inside the timed region, dispatch floor
-subtracted.
+Through this image's remote tunnel a single sub-20 ms program is
+unmeasurable (30+ ms dispatch with multi-ms jitter), so each measurement
+scan-batches R distinct-input repetitions INSIDE one program and divides:
+the scanned shift vector differs per outer call, so the execution-replay
+layer (benchmarks/README.md) never sees a repeated (program, inputs) pair.
 
-Usage: python benchmarks/chol_base_ab.py [--reps 10]
+Usage: python benchmarks/chol_base_ab.py [--calls 6] [--scan 64]
 """
 
 from __future__ import annotations
@@ -25,20 +27,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _bench(fn, inputs, disp=0.0):
-    acc = float(np.asarray(fn(*inputs[0])))
+def _min_wall(fn, inputs):
+    acc = float(np.asarray(fn(*inputs[0])))          # warm/compile
     ts = []
     for args in inputs[1:]:
         t0 = time.perf_counter()
         acc += float(np.asarray(fn(*args)))
         ts.append(time.perf_counter() - t0)
-    assert np.isfinite(acc), "non-finite"
-    return max(float(np.median(ts)) - disp, 1e-9)
+    assert np.isfinite(acc), "non-finite result"
+    return min(ts)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--calls", type=int, default=6)
+    ap.add_argument("--scan", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -48,56 +51,79 @@ def main():
     from gp_tpu.ops.pallas_chol import pallas_cholesky_panel
 
     dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
-    reps = args.reps
-
-    triv = jax.jit(lambda c: jnp.sum(c + 1.0))
-    disp = _bench(triv, [(jnp.asarray(float(i), dt),)
-                         for i in range(reps + 1)])
-    print(json.dumps({"metric": "dispatch_floor_ms",
-                      "value": round(disp * 1e3, 2)}), flush=True)
-
+    R, calls = args.scan, args.calls
     rng = np.random.default_rng(0)
+
+    def scanbench(op, K):
+        """s/op: one program scans R distinct diagonal shifts."""
+        def prog(Km, cs):
+            def step(acc, c):
+                from gp_tpu.ops.blocked import add_diag
+                L = op(add_diag(Km, c))
+                return acc + jnp.sum(jnp.log(jnp.diagonal(L))), None
+            acc, _ = jax.lax.scan(step, jnp.zeros((), Km.dtype), cs)
+            return acc
+        f = jax.jit(prog)
+        ins = [(K, jnp.asarray(0.5 + 0.01 * rng.standard_normal(R), dt))
+               for _ in range(calls + 1)]
+        return _min_wall(f, ins) / R
+
     for b in (256, 512, 1024):
         A = jnp.asarray(rng.standard_normal((b, b)), dt)
         K = jax.jit(lambda a: a @ a.T / b + 2.0 * jnp.eye(b, dtype=dt))(A)
         jax.block_until_ready(K)
-        shifts = [(K, jnp.asarray(0.5 + 0.01 * i, dt))
-                  for i in range(reps + 1)]
 
-        stock = jax.jit(lambda Km, c: jnp.sum(
-            jnp.linalg.cholesky(Km + c * jnp.eye(b, dtype=dt))))
-        t = _bench(stock, shifts, disp)
-        print(json.dumps({"metric": f"stock_chol_b{b}_ms",
-                          "value": round(t * 1e3, 3)}), flush=True)
-
-        for w in (8, 32, 128, 256):
+        t = scanbench(jnp.linalg.cholesky, K)
+        print(json.dumps({"metric": f"stock_chol_b{b}_us",
+                          "value": round(t * 1e6, 1)}), flush=True)
+        for w in (8, 32, 128):
             if w > b:
                 continue
             try:
-                pk = jax.jit(lambda Km, c, w=w: jnp.sum(
-                    pallas_cholesky_panel(Km + c * jnp.eye(b, dtype=dt), w)))
-                t = _bench(pk, shifts, disp)
-                print(json.dumps({"metric": f"pallas_panel_chol_b{b}_w{w}_ms",
-                                  "value": round(t * 1e3, 3)}), flush=True)
+                t = scanbench(lambda Km, w=w: pallas_cholesky_panel(Km, w), K)
+                print(json.dumps(
+                    {"metric": f"pallas_panel_chol_b{b}_w{w}_us",
+                     "value": round(t * 1e6, 1)}), flush=True)
             except Exception as e:  # noqa: BLE001 — Mosaic rejections etc.
-                print(json.dumps({"metric": f"pallas_panel_chol_b{b}_w{w}_ms",
-                                  "error": repr(e)[:200]}), flush=True)
+                print(json.dumps(
+                    {"metric": f"pallas_panel_chol_b{b}_w{w}_us",
+                     "error": repr(e)[:160]}), flush=True)
 
-    # end-to-end blocked factorization at N=8192 with each base case
+    # end-to-end factorization at N=8192, stock vs best-w Pallas base
     from gp_tpu.ops import blocked
 
     n = 8192
     A = jnp.asarray(rng.standard_normal((n, n)), dt)
     K = jax.jit(lambda a: a @ a.T / n + 2.0 * jnp.eye(n, dtype=dt))(A)
     jax.block_until_ready(K)
-    shifts = [(K, jnp.asarray(0.5 + 0.01 * i, dt)) for i in range(reps + 1)]
 
-    full = jax.jit(lambda Km, c: jnp.sum(blocked.blocked_cholesky(
-        Km + c * jnp.eye(n, dtype=dt), block=1024, zero_upper=False)))
-    t = _bench(full, shifts, disp)
-    print(json.dumps({"metric": "blocked_chol_n8192_stockbase_ms",
-                      "value": round(t * 1e3, 2),
-                      "tflops": round(n**3 / 3 / t / 1e12, 1)}), flush=True)
+    def e2e(base_fn, tag):
+        def prog(Km, cs):
+            def step(acc, c):
+                L = blocked.blocked_cholesky(
+                    blocked.add_diag(Km, c), block=1024,
+                    zero_upper=False, base_fn=base_fn)
+                return acc + jnp.sum(jnp.log(jnp.diagonal(L))), None
+            acc, _ = jax.lax.scan(step, jnp.zeros((), Km.dtype), cs)
+            return acc
+        f = jax.jit(prog)
+        r = max(2, R // 16)
+        ins = [(K, jnp.asarray(0.5 + 0.01 * rng.standard_normal(r), dt))
+               for _ in range(calls + 1)]
+        t = _min_wall(f, ins) / r
+        print(json.dumps({"metric": f"blocked_chol_n8192_{tag}_ms",
+                          "value": round(t * 1e3, 2),
+                          "tflops": round(n**3 / 3 / t / 1e12, 1)}),
+              flush=True)
+
+    e2e(None, "stockbase")
+    for w in (32, 128):
+        try:
+            e2e(lambda Kb, w=w: pallas_cholesky_panel(Kb, w),
+                f"pallasbase_w{w}")
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": f"blocked_chol_n8192_pallasbase_w{w}",
+                              "error": repr(e)[:160]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -318,7 +318,16 @@ def gp_nll(hyp, X, y):
     sf2 = np.exp(2.0 * hyp[d])
     sn2 = np.exp(2.0 * hyp[d + 1])
     Xs = X / ell
-    K = Xs @ Xs.T                                   # one N^2 buffer
+    if n * n < 2**31:
+        K = Xs @ Xs.T                               # one N^2 buffer
+    else:
+        # one DGEMM with >2^31 output elements silently corrupts (or
+        # segfaults) in this LP64 OpenBLAS — build the Gram matrix in
+        # 8192-row panels so every BLAS call stays in int32 index space
+        K = np.empty((n, n), np.float64)
+        for p0 in range(0, n, 8192):
+            p1 = min(p0 + 8192, n)
+            K[p0:p1] = Xs[p0:p1] @ Xs.T
     sq = np.einsum("ij,ij->i", Xs, Xs)
     K *= -2.0
     K += sq[:, None]
@@ -328,11 +337,71 @@ def gp_nll(hyp, X, y):
     np.exp(K, out=K)
     K *= sf2
     K.flat[:: n + 1] += sn2
-    L = sla.cholesky(K, lower=True, overwrite_a=True, check_finite=False)
-    r = y - hyp[d + 2]
-    alpha = sla.cho_solve((L, True), r, check_finite=False)
+    if n * n < 2**31:
+        L = sla.cholesky(K, lower=True, overwrite_a=True, check_finite=False)
+        r = y - hyp[d + 2]
+        alpha = sla.cho_solve((L, True), r, check_finite=False)
+    else:
+        # this image's scipy OpenBLAS is LP64: any single dpotrf whose
+        # lda*n exceeds 2^31 elements SEGFAULTS (measured at N=51200 —
+        # the CPU analog of the XLA:TPU int32 fusion-addressing wall,
+        # ops/slabbed.py).  Factor in-place with 8192-wide panels so every
+        # BLAS call stays in int32 index space; K slabs are numpy views
+        # (numpy itself indexes in 64-bit).
+        L = _blocked_cholesky_inplace(K, block=8192)
+        r = y - hyp[d + 2]
+        z = _blocked_solve_lower(L, r.copy(), block=8192)
+        alpha = _blocked_solve_lower_t(L, z, block=8192)
     return (0.5 * r @ alpha + np.log(np.diag(L)).sum()
             + 0.5 * n * np.log(2 * np.pi))
+
+
+def _blocked_cholesky_inplace(K, block=8192):
+    """Right-looking blocked dpotrf over the lower triangle of K, in place.
+
+    Each panel is copied contiguous before its BLAS calls (lda == panel
+    width), and the trailing SYRK runs column-slab by column-slab, so no
+    LAPACK/BLAS call ever sees an index product near 2^31."""
+    n = K.shape[0]
+    for c0 in range(0, n, block):
+        c1 = min(c0 + block, n)
+        Ljj = sla.cholesky(np.ascontiguousarray(K[c0:c1, c0:c1]),
+                           lower=True, check_finite=False)
+        K[c0:c1, c0:c1] = Ljj
+        if c1 < n:
+            pan = np.ascontiguousarray(K[c1:, c0:c1])
+            pan = sla.solve_triangular(Ljj, pan.T, lower=True,
+                                       check_finite=False).T
+            K[c1:, c0:c1] = pan
+            for s0 in range(c1, n, block):
+                s1 = min(s0 + block, n)
+                K[s0:, s0:s1] -= pan[s0 - c1:] @ pan[s0 - c1:s1 - c1].T
+    return K
+
+
+def _blocked_solve_lower(L, b, block=8192):
+    n = L.shape[0]
+    for c0 in range(0, n, block):
+        c1 = min(c0 + block, n)
+        b[c0:c1] = sla.solve_triangular(
+            np.ascontiguousarray(L[c0:c1, c0:c1]), b[c0:c1], lower=True,
+            check_finite=False)
+        if c1 < n:
+            b[c1:] -= np.ascontiguousarray(L[c1:, c0:c1]) @ b[c0:c1]
+    return b
+
+
+def _blocked_solve_lower_t(L, b, block=8192):
+    n = L.shape[0]
+    starts = list(range(0, n, block))
+    for c0 in reversed(starts):
+        c1 = min(c0 + block, n)
+        b[c0:c1] = sla.solve_triangular(
+            np.ascontiguousarray(L[c0:c1, c0:c1]), b[c0:c1], lower=True,
+            trans=1, check_finite=False)
+        if c0 > 0:
+            b[:c0] -= np.ascontiguousarray(L[c0:c1, :c0]).T @ b[c0:c1]
+    return b
 
 
 def eval_at_synth(hyp_path):

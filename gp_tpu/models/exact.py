@@ -102,14 +102,37 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     mean = hyp_mean(hyp)
     n = x.shape[0]
 
-    build = lambda c: kernel.k(c, x, x)
-    K0, k_vjp = jax.vjp(build, chyp)
-    # O(N) diagonal scatter instead of + sn2*eye (full N^2 select+add);
-    # zero_upper=False: everything downstream (tri_inv strips, logdet
-    # diagonal) reads only the lower triangle
-    L = cholesky(add_diag(K0, sn2), zero_upper=False)
+    from ..ops import chol as chol_mod
+    blk = chol_mod._block_for(n)
+    if chol_mod._use_blocked(n) and n % blk:
+        if kernel.name.startswith("se_"):
+            # capacity path: decoy rows whose SE covariances underflow to
+            # exact zero — every op runs at the panel multiple with no
+            # pad/slice/layout conversions (measured ~4 ms/eval at N=8000)
+            return _nll_vg_far_padded(kernel, hyp, x, y, blk)
+        # non-SE kernels: pad ONCE to the panel multiple and keep the
+        # factor padded through logdet (pad diag = 1 contributes 0) and
+        # the lauum inverse (pad block of K^-1 is I) — letting cholesky
+        # and spd_inv each pad adds a full-matrix pad + slice-back pair
+        # (~1.6 ms at N=8000 f32, v5e)
+        from ..ops.blocked import blocked_cholesky
+        build = lambda c: kernel.k(c, x, x)
+        K0, k_vjp = jax.vjp(build, chyp)
+        K = add_diag(K0, sn2)
+        p = blk - n % blk
+        Kp = jnp.zeros((n + p, n + p), K.dtype).at[:n, :n].set(K)
+        Kp = Kp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
+        L = blocked_cholesky(Kp, block=blk, zero_upper=False)
+        Kinv = spd_inv_from_chol(L)[:n, :n]
+    else:
+        build = lambda c: kernel.k(c, x, x)
+        K0, k_vjp = jax.vjp(build, chyp)
+        # O(N) diagonal scatter instead of + sn2*eye (full N^2
+        # select+add); zero_upper=False: everything downstream (tri_inv
+        # strips, logdet diagonal) reads only the lower triangle
+        L = cholesky(add_diag(K0, sn2), zero_upper=False)
+        Kinv = spd_inv_from_chol(L)
     r = y - mean
-    Kinv = spd_inv_from_chol(L)
     # alpha from the (already needed) explicit inverse: one O(N^2) matvec
     # replaces the two blocked triangular sweeps of chol_solve
     alpha = Kinv @ r
@@ -118,6 +141,83 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     Q = Kinv - alpha[:, None] * alpha[None, :]
     g_cov = 0.5 * k_vjp(Q)[0]
     g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
+    g_mean = -jnp.sum(alpha)
+    grad = jnp.concatenate(
+        [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
+    return nll, grad
+
+
+def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
+    """nll_vg_raw at the next panel-multiple capacity via FAR DECOY rows.
+
+    When N is not a multiple of the panel width, every blocked op pays a
+    pad + slice-back + layout-conversion set (~4 ms/eval at N=8000 f32 on
+    v5e).  Instead, append n_pad decoy inputs placed so far from the data
+    (and from each other) that every SE cross-covariance UNDERFLOWS TO
+    EXACTLY ZERO in the compute dtype: the padded system is exactly
+    block-diagonal [K, sf2*I], and the whole pipeline (fused K build,
+    blocked Cholesky, tri_inv, lauum inverse, VJP contraction) runs
+    pad-free at the aligned capacity.  The padded objective differs from
+    the true NLL only by the analytic decoy terms, corrected exactly:
+
+        logdet(K~) = logdet(K) + n_pad*log(sf2)      -> subtract
+        tr(K~^-1)  = tr(K^-1)  + n_pad/sf2           -> subtract in g_sn
+        decoy-diagonal cotangent (dk(p,p)/dlog_sf = 2 sf2) -> zeroed by an
+        O(n_pad) scatter on Q before the kernel VJP (which also kills the
+        catastrophic a^2*rowsum cancellation at decoy magnitudes)
+
+    Decoy geometry: decoy i sits on axis (i mod d) at big_j*(1 + i//d)
+    with big_j = 1e4*(2*max|x_j| + 1) — >= ~140x the largest in-bounds
+    length scale (cov_hyp_range caps l at ~70*span, CovSEard.cpp:41-71),
+    so the scaled squared distance is >= ~2e4 (f32 exp underflows below
+    -103) and <= ~1e20 (no overflow).  The decoy diagonal k(p,p) is set
+    to sf2 by an O(n_cap) scatter — the kernel's quadratic-expansion
+    sqdist is noisy at decoy magnitudes, so the build's own diagonal
+    cannot be trusted there.  SE-family kernels only (exponential decay;
+    RQ decays polynomially and does not underflow).
+    """
+    from ..ops.blocked import blocked_cholesky, spd_inv_from_chol
+    from ..ops.chol import chol_logdet
+
+    n, d = x.shape
+    nc = kernel.num_hyp(d)
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    mean = hyp_mean(hyp)
+    log_sf2 = 2.0 * chyp[nc - 1]
+    sf2 = jnp.exp(log_sf2)
+    n_pad = blk - n % blk
+    n_cap = n + n_pad
+
+    big = 1e4 * (2.0 * jnp.max(jnp.abs(x), axis=0) + 1.0)       # (d,)
+    i = jnp.arange(n_pad)
+    pads = jnp.zeros((n_pad, d), x.dtype).at[i, i % d].set(
+        big[i % d] * (1.0 + (i // d).astype(x.dtype)))
+    x_cap = jnp.concatenate([x, pads], axis=0)
+
+    build = lambda c: kernel.k(c, x_cap, x_cap)
+    K0, k_vjp = jax.vjp(build, chyp)
+    ids = jnp.arange(n_cap)
+    real = ids < n
+    diag_vals = jnp.where(real, jnp.diagonal(K0) + sn2, sf2)
+    K = K0.at[ids, ids].set(diag_vals)
+
+    L = blocked_cholesky(K, block=blk, zero_upper=False)
+    Kinv = spd_inv_from_chol(L)
+    r = jnp.where(real, jnp.concatenate([y, jnp.zeros(n_pad, y.dtype)])
+                  - mean, 0.0)
+    alpha = Kinv @ r
+    nll = (0.5 * jnp.dot(r, alpha)
+           + 0.5 * (chol_logdet(L) - n_pad * log_sf2)
+           + 0.5 * n * jnp.log(2 * jnp.pi))
+
+    # pad-diag zeroing folded into the Q fusion (a scatter would copy the
+    # whole N^2 buffer)
+    pad_diag = (ids[:, None] == ids[None, :]) & (ids[:, None] >= n)
+    Q = jnp.where(pad_diag, 0.0,
+                  Kinv - alpha[:, None] * alpha[None, :])
+    g_cov = 0.5 * k_vjp(Q)[0]
+    g_sn = sn2 * (jnp.trace(Kinv) - n_pad / sf2 - jnp.dot(alpha, alpha))
     g_mean = -jnp.sum(alpha)
     grad = jnp.concatenate(
         [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
@@ -173,6 +273,91 @@ def _factor_k_noise(kernel: KernelSpec, chyp, x, sn2, tile: int):
         slabs = build_k_noise_slabs(kernel, chyp, x, sn2, block=block)
         return cholesky(slabs)
     return cholesky(_build_k_noise_tiled(kernel, chyp, x, sn2, tile))
+
+
+def _k_dot_streamed(kernel: KernelSpec, chyp, x, sn2, B, tile: int = 2048):
+    """(K + sn2 I) @ B without materializing K: one kernel-build sweep,
+    row-tile by row-tile (O(N^2 d) build + O(N^2 k) GEMM, O(tile*N) temps).
+    """
+    n, d = x.shape
+    if n % tile or n <= tile:
+        from ..ops.blocked import add_diag
+        return add_diag(kernel.k(chyp, x, x), sn2) @ B
+    outs = []
+    for j in range(0, n, tile):
+        x_I = jax.lax.dynamic_slice(x, (j, 0), (tile, d))
+        rows = kernel.k(chyp, x_I, x)                    # (tile, n)
+        outs.append(rows @ B + sn2 * jax.lax.dynamic_slice(
+            B, (j, 0), (tile, B.shape[1])))
+    return jnp.concatenate(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("kernel", "tile", "probes"))
+def nll_refined(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
+                probes: int = 16, seed: int = 0):
+    """High-accuracy NLL from the f32 MXU factor (mixed-precision rescue).
+
+    A plain f32 evaluation at N~50k carries ~1e-3 relative NLL error
+    (measured 47.5 nats vs the f64 oracle at N=51200): the factorization's
+    rounding biases both the data fit and the log-determinant.  This
+    keeps the O(N^3) on the f32 MXU and repairs both terms with O(N^2)
+    work:
+
+      * data fit: one step of iterative refinement on alpha —
+        alpha += K^-1 (r - K alpha) — squares the solve's backward error;
+        the final quadratic form accumulates in f64 (O(N)).
+      * logdet: K = L L^T (I + E) with E = L^-1 K L^-T - I the f32
+        factorization error, so logdet(K) = 2 sum log diag L + tr(E) +
+        O(||E||^2).  tr(E) via Hutchinson probes: z^T E z = w^T K w - n
+        with w = L^-T z, Rademacher z (z^T z = n exactly).  E is tiny, so
+        the estimator's intrinsic variance is negligible; `probes` copies
+        average down the f32 quadratic-form noise.
+
+    One streamed kernel-build sweep serves the refinement residual AND
+    every probe (the O(N^2 d) build is the cost; extra GEMM columns are
+    nearly free).  Measured at N=51200: 47.5 -> <~1 nat vs the f64 oracle.
+    """
+    from ..ops.chol import chol_logdet, chol_solve
+
+    n, d = x.shape
+    if n % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and n % t == 0:
+                tile = t
+                break
+    nc = kernel.num_hyp(d)
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    mean = hyp_mean(hyp)
+    r = y - mean
+
+    L = _factor_k_noise(kernel, chyp, x, sn2, tile)
+    alpha0 = chol_solve(L, r)
+
+    z = (jax.random.bernoulli(jax.random.PRNGKey(seed), 0.5, (n, probes))
+         .astype(x.dtype) * 2.0 - 1.0)
+    from ..ops.chol import _is_slabs
+    if _is_slabs(L):
+        from ..ops.slabbed import slabbed_solve_lower_t
+        W = slabbed_solve_lower_t(L, z)
+    else:
+        from ..ops.blocked import blocked_solve_lower_t
+        W = blocked_solve_lower_t(L, z)
+
+    B = jnp.concatenate([alpha0[:, None], W], axis=1)    # (n, 1 + probes)
+    V = _k_dot_streamed(kernel, chyp, x, sn2, B, tile)
+    resid = r - V[:, 0]
+    alpha = alpha0 + chol_solve(L, resid)
+    # per-probe w^T K w - z^T z; Rademacher z^T z = n exactly.  f64
+    # accumulation: the probe values are ~n with an O(eps n) signal, so
+    # f32 summation noise would eat most of the correction
+    tr_e = jnp.mean(jnp.einsum("nk,nk->k", W.astype(jnp.float64),
+                               V[:, 1:].astype(jnp.float64))) - n
+    data_fit = jnp.dot(r.astype(jnp.float64), alpha.astype(jnp.float64))
+    logdet = (chol_logdet(L).astype(jnp.float64)
+              + tr_e.astype(jnp.float64))
+    return (0.5 * data_fit + 0.5 * logdet
+            + 0.5 * n * jnp.log(2 * jnp.pi)).astype(jnp.float64)
 
 
 def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
@@ -554,6 +739,32 @@ class GP(GPBase):
     _MAX_EVAL = 160
 
     # posterior cache: (*solver_factors, invKys)
+
+    def subset_init_hyps(self, m: int = 8192, seed: int = 0):
+        """MLE hyps from a random m-point subset fit — the large-N warm
+        start.
+
+        At HBM-scale N the default-hyp probe is INF (f32 non-SPD at the
+        tiny default noise), so a cold train() enters through the random
+        global search (GP.cpp:196-198 semantics) and the 160-eval budget
+        can stall in the noise-dominated basin (measured at N=51200:
+        final NLL +1.04 nats/pt cold vs -0.2 expected).  An O(m^3) subset
+        MLE lands in the data-fit basin in seconds on the chip; pass the
+        result to train():  `gp.train(gp.subset_init_hyps())`.  No
+        reference analog — the serial reference cannot afford restarts at
+        large N at all.
+        """
+        n = self._x.shape[0]
+        if n <= m:
+            return self.get_default_hyps()
+        idx = np.random.default_rng(seed).choice(n, m, replace=False)
+        sub = GP(np.asarray(self._x)[idx], np.asarray(self._y)[idx],
+                 kernel=self.kernel, solver=self.solver)
+        sub.set_noise_lower_bound(self._noise_lb)
+        if self._noise_free:
+            sub.set_noise_free(True)
+        sub.train()
+        return sub.get_hyp()
 
     def _nll_value(self, hyp):
         return nll(self.kernel, hyp, self._x, self._y, self.solver)

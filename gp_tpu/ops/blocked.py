@@ -36,7 +36,8 @@ from jax.scipy.linalg import solve_triangular
 
 
 def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
-                     panel_inv: bool = True, zero_upper: bool = True):
+                     panel_inv: bool = True, zero_upper: bool = True,
+                     base_fn=None):
     """Lower Cholesky factor of K (n x n), right-looking with block panels.
 
     The diagonal BxB factorization recurses down to `base_block` before
@@ -55,10 +56,14 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
     tril'd diagonal blocks), chol_logdet / chol_ok (diagonal) — i.e. the
     whole fused objective path.  Keep True for factors that are cached,
     checkpointed, or compared densely.
+
+    base_fn overrides the BxB diagonal-block factorization (default stock
+    jnp.linalg.cholesky) — e.g. the Pallas micro-panel kernel
+    (ops/pallas_chol.pallas_cholesky_panel).
     """
     n = K.shape[0]
     if n <= base_block or block % base_block:
-        return jnp.linalg.cholesky(K)
+        return (base_fn or jnp.linalg.cholesky)(K)
     if n % block:
         # pad to blockdiag(K, I): the factor is blockdiag(L, I), slice back
         p = block - n % block
@@ -66,15 +71,16 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
         Kp = Kp.at[:n, :n].set(K)
         Kp = Kp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
         return blocked_cholesky(Kp, block, base_block, panel_inv,
-                                zero_upper)[:n, :n]
+                                zero_upper, base_fn)[:n, :n]
 
     def base(Kb):
         m = Kb.shape[0]
         if m <= base_block:
-            return jnp.linalg.cholesky(Kb)
+            return (base_fn or jnp.linalg.cholesky)(Kb)
         # one-level recursion with a quarter-size panel
         return blocked_cholesky(Kb, block=max(base_block, m // 4),
-                                base_block=base_block, panel_inv=panel_inv)
+                                base_block=base_block, panel_inv=panel_inv,
+                                base_fn=base_fn)
 
     nb = n // block
     L = K
@@ -228,8 +234,11 @@ def tri_inv(L, base: int = 512, cutoff: int = 2048):
     import jax
 
     nb = n // base
-    idx = jnp.arange(nb)
-    dblocks = L.reshape(nb, base, nb, base)[idx, :, idx, :]   # (nb, b, b)
+    # static-slice stack: a reshape(nb,b,nb,b)+gather materializes TWO full
+    # N^2 intermediates (~1.6 ms at N=8192 f32 on v5e); slicing the nb
+    # diagonal blocks directly moves only nb*b^2 bytes
+    dblocks = jnp.stack([L[k * base:(k + 1) * base, k * base:(k + 1) * base]
+                         for k in range(nb)])                 # (nb, b, b)
     eye = jnp.eye(base, dtype=L.dtype)
     Td = jax.vmap(
         lambda Lb: solve_triangular(Lb, eye, lower=True))(dblocks)
@@ -243,7 +252,7 @@ def tri_inv(L, base: int = 512, cutoff: int = 2048):
     return T
 
 
-def spd_inv_from_chol(L, block: int = 1024, base: int = 256):
+def spd_inv_from_chol(L, block: int = 1024, base: int = 512):
     """K^-1 from K = L L^T as T^T T with T = L^-1 (GEMM-rich dpotri analog).
 
     lauum-style symmetric product: K^-1 is symmetric, so only its block

@@ -96,19 +96,32 @@ def _chol_panel_kernel(k_ref, o_ref, *, b: int, w: int):
 
     Total: b/w GEMMs + b rank-1 steps on (b, w) panels — the O(b^3) is all
     MXU, the VPU work drops from O(b^3) to O(b^2 w).
+
+    Measured on v5e (benchmarks/chol_base_ab.py, scan-batched): parity
+    with the stock base case at b=256 (~0.6 ms, fixed-overhead bound) but
+    1.8-2.8x slower at b=512/1024 (per-column masked extraction + Mosaic
+    per-op overhead at small w), and ~1 ms slower end-to-end inside the
+    N=8192 blocked factorization.  The stock base case therefore remains
+    the default; this kernel is kept as the correct, tested micro-panel
+    building block.
     """
-    A = k_ref[:]
-    L = jnp.zeros_like(A)
+    # the output ref itself accumulates the factor: Mosaic has no
+    # dynamic_update_slice on VALUES, but static slice stores to a ref are
+    # native, and each panel's GEMM re-reads the ref (RAW within a kernel
+    # is sequential)
+    o_ref[:] = jnp.zeros((b, b), k_ref.dtype)
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)      # (b, 1)
     pcols = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)     # (b, w)
 
     for p0 in range(0, b, w):
         # 1. panel update: (b, b) @ (b, w) MXU GEMM against factored L
+        #    (not-yet-factored columns are still zero — no masking needed)
+        L = o_ref[:]
         Lp = jax.lax.dot_general(
             L, L[p0:p0 + w, :], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=A.dtype,
+            preferred_element_type=L.dtype,
             precision=jax.lax.Precision.HIGHEST)               # (b, w)
-        C = A[:, p0:p0 + w] - Lp
+        C = k_ref[:, p0:p0 + w] - Lp
 
         # 2. factor the w columns of the panel (dynamic c, masked on (b, w))
         def body(c, C, p0=p0):
@@ -126,10 +139,8 @@ def _chol_panel_kernel(k_ref, o_ref, *, b: int, w: int):
             return jnp.where(pcols == c, l, C)
 
         C = jax.lax.fori_loop(0, w, body, C)
-        # 3. one static column-block write
-        L = jax.lax.dynamic_update_slice(L, C, (0, p0))
-
-    o_ref[:] = L
+        # 3. one static column-block store
+        o_ref[:, p0:p0 + w] = C
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))

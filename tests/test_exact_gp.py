@@ -325,3 +325,68 @@ def test_train_chunked_stream_path_matches_default(toy_problem, monkeypatch):
     np.testing.assert_allclose(nll_b, nll_a, rtol=5e-6)
     np.testing.assert_allclose(np.asarray(b.get_hyp()),
                                np.asarray(a.get_hyp()), rtol=1e-4, atol=1e-6)
+
+
+def test_far_padded_objective_matches_plain():
+    """_nll_vg_far_padded (decoy-row capacity path) == nll_vg_raw exactly
+    up to f64 roundoff, for both SE kernels and non-multiple sizes."""
+    from gp_tpu import SE_ARD, SE_ISO
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((100, 5)) * np.asarray([1.0, 10.0, 0.1, 3.0, 1.0])
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(100)
+    for kernel in (SE_ARD, SE_ISO):
+        hyp = jnp.asarray(default_hyps(kernel, X, y, 1e-3, False))
+        hyp = hyp.at[-2].set(np.log(0.05))
+        x_d, y_d = jnp.asarray(X), jnp.asarray(y)
+        f0, g0 = exact.nll_vg_raw(kernel, hyp, x_d, y_d)
+        for blk in (64, 128):
+            f1, g1 = exact._nll_vg_far_padded(kernel, hyp, x_d, y_d, blk)
+            np.testing.assert_allclose(float(f1), float(f0), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       rtol=1e-9, atol=1e-11)
+
+
+def test_subset_init_hyps_warm_start():
+    """subset_init_hyps fits a random subset and train(init) accepts it."""
+    from gp_tpu import GP
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-3, 3, (300, 2))
+    y = np.sin(X[:, 0]) * np.cos(X[:, 1]) + 0.05 * rng.standard_normal(300)
+    gp = GP(X, y)
+    init = gp.subset_init_hyps(m=128, seed=1)
+    assert np.all(np.isfinite(init)) and init.shape == (gp.num_hyp,)
+    nll = gp.train(init)
+    assert np.isfinite(nll)
+    # n <= m short-circuits to the defaults
+    small = GP(X[:50], y[:50])
+    np.testing.assert_allclose(small.subset_init_hyps(m=128),
+                               small.get_default_hyps())
+
+
+def test_nll_refined_matches_raw():
+    """nll_refined == nll_raw to roundoff in f64 (E = 0 regime), and the
+    machinery (streamed matvec, probes, refinement) stays finite in f32."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    rng = np.random.default_rng(0)
+    n, d = 768, 4
+    X = rng.uniform(-3, 3, (n, d))
+    y = np.sin(2 * X[:, 0]) + 0.05 * rng.standard_normal(n)
+    hyp = np.asarray(default_hyps(SE_ARD, X, y, 1e-3, False))
+    hyp[-2] = np.log(0.05)
+    f_raw = float(exact.nll_raw(SE_ARD, jnp.asarray(hyp), jnp.asarray(X),
+                                jnp.asarray(y)))
+    f_ref = float(exact.nll_refined(SE_ARD, jnp.asarray(hyp),
+                                    jnp.asarray(X), jnp.asarray(y),
+                                    tile=256, probes=8))
+    np.testing.assert_allclose(f_ref, f_raw, rtol=1e-10)
+    f32 = float(exact.nll_refined(
+        SE_ARD, jnp.asarray(hyp, jnp.float32), jnp.asarray(X, jnp.float32),
+        jnp.asarray(y, jnp.float32), tile=256, probes=8))
+    assert np.isfinite(f32) and abs(f32 - f_raw) / abs(f_raw) < 1e-4
