@@ -119,6 +119,13 @@ def fit50k(n=51200, d=10, warm=False):
         warm_wall = time.perf_counter() - t0
         print(json.dumps({"warm_subset_nll": float(sub_nll),
                           "warm_wall_s": round(warm_wall, 1)}), flush=True)
+        # free the subset model's device buffers (L, K^-1, data): the
+        # HBM-scale posterior-cache program below fits the 16 GB chip
+        # with very little slack — the leftover ~0.5 GB was a measured
+        # RESOURCE_EXHAUSTED in set_k_streamed
+        del sub
+        import gc
+        gc.collect()
     t0 = time.perf_counter()
     def _safe(fn):
         # after a RESOURCE_EXHAUSTED, even small device fetches can fail;
@@ -142,7 +149,14 @@ def fit50k(n=51200, d=10, warm=False):
                 "hyp": _safe(lambda: [float(v) for v in
                                       np.asarray(gp.get_hyp())]),
                 "opt_f": _safe(lambda: float(res.f)) if res else None,
-                "opt_evals": _safe(lambda: int(res.evals)) if res else None}
+                "opt_evals": _safe(lambda: int(res.evals)) if res else None,
+                # hosted-optimizer fields are numpy: recoverable even when
+                # the device is dead (hyp = unstandardize(opt_x_std))
+                "opt_x_std": _safe(lambda: [float(v) for v in
+                                            np.asarray(res.x)]) if res
+                             else None,
+                "y_mu": _safe(lambda: gp._y_mu),
+                "y_sigma": _safe(lambda: gp._y_sigma)}
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "golden", f"tpu_fit_n{n}{tag}_partial.json")
         json.dump(part, open(path, "w"), indent=1)

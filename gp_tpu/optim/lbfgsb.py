@@ -362,10 +362,12 @@ def lbfgsb_hosted(
         if np.max(np.abs(np.clip(x - g, lb_n, ub_n) - x)) < tol:
             done = True  # converged (projected-gradient tolerance)
 
-    converged = jnp.asarray(bool(np.isfinite(f)))
+    # host (numpy) result fields: after a device OOM mid-train (e.g. the
+    # posterior-cache program at HBM-scale N), even tiny device fetches
+    # fail — the fitted hyps must survive without touching the device
     return LBFGSBResult(
-        jnp.asarray(x, dtype), jnp.asarray(f, dtype), jnp.asarray(g, dtype),
-        jnp.asarray(evals, jnp.int32), converged)
+        np.asarray(x, dtype), np.asarray(f, dtype), np.asarray(g, dtype),
+        np.asarray(evals, np.int32), np.asarray(np.isfinite(f)))
 
 
 lbfgsb = partial(jax.jit, static_argnames=(
