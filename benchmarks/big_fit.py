@@ -112,18 +112,19 @@ def fit50k(n=51200, d=10, warm=False):
     warm_wall = 0.0
     if warm:
         t0 = time.perf_counter()
-        idx = np.random.default_rng(1).choice(n, 8192, replace=False)
-        sub = GP(X[idx], y[idx])
-        sub_nll = sub.train()
-        init = np.asarray(sub.get_hyp())
+        # the library method also clamps the start noise (a subset MLE
+        # overfits noise to the noise_lb clip, which is catastrophic at
+        # full N — measured +185677 nats unclamped vs -27616 clamped at
+        # the same length scales; a start that far out also exhausts the
+        # 160-eval budget before reaching the basin, stalling at the
+        # +53k noise basin twice)
+        init = np.asarray(gp.subset_init_hyps(m=8192, seed=1))
         warm_wall = time.perf_counter() - t0
-        print(json.dumps({"warm_subset_nll": float(sub_nll),
+        print(json.dumps({"warm_start_log_sn": float(init[-2]),
                           "warm_wall_s": round(warm_wall, 1)}), flush=True)
-        # free the subset model's device buffers (L, K^-1, data): the
-        # HBM-scale posterior-cache program below fits the 16 GB chip
-        # with very little slack — the leftover ~0.5 GB was a measured
-        # RESOURCE_EXHAUSTED in set_k_streamed
-        del sub
+        # free any leftover device buffers: the HBM-scale posterior-cache
+        # program below fits the 16 GB chip with very little slack — a
+        # leftover ~0.5 GB was a measured RESOURCE_EXHAUSTED
         import gc
         gc.collect()
     t0 = time.perf_counter()

@@ -378,6 +378,23 @@ class GPBase:
                       f"[GP_TPU_DEBUG]   numeric ={fd}", file=sys.stderr)
 
         nlz = self.nll(hyps)
+        if not np.isfinite(nlz) and not self._noise_free:
+            # START-POINT noise rescue: inflate log_sn by log sqrt(10)
+            # steps (the _setK recovery schedule, GP.cpp:431-440) before
+            # discarding the start.  In f32 at large N a small-noise
+            # start can be non-SPD purely numerically (the reference
+            # never hits this — f64), and falling straight into the
+            # random global search would throw away the start's length
+            # scales.  The line search's INF-rejection keeps later
+            # iterates feasible.
+            trial = hyps.copy()
+            for _ in range(16):
+                trial[-2] = (np.log(DBL_EPS) if np.isinf(trial[-2])
+                             else trial[-2] + 0.5 * np.log(10.0))
+                v = self.nll(trial)
+                if np.isfinite(v):
+                    hyps, nlz = trial, v
+                    break
         if not np.isfinite(nlz):
             hyps = self.select_init_hyp(self._num_hyp * 50, hyps)
 

@@ -764,7 +764,24 @@ class GP(GPBase):
         if self._noise_free:
             sub.set_noise_free(True)
         sub.train()
-        return sub.get_hyp()
+        hyp = np.array(np.asarray(sub.get_hyp()), np.float64)
+        # clamp the start noise: a subset MLE can overfit noise down to
+        # the noise_lb clip (sn2 ~ 1e-6 measured on 0.1-noise synthetic
+        # data at m=8192), and that overconfident model is catastrophic
+        # at full N — measured at N=51200: NLL +185677 at the raw subset
+        # hyps (f64 oracle agrees, +185677 vs f32 +184671: the value is
+        # real, not a precision artifact) vs -27616 at the same length
+        # scales with clamped noise.  Starting 4+ orders of magnitude of
+        # sn2 away also burns the 160-eval budget before the basin is
+        # reached (measured: stalls at the +53k noise basin).  The floor
+        # sn2 >= 2 N eps sf2 doubles as the model-dtype conditioning
+        # bound, keeping the f32 factorization's relative error O(0.01).
+        if not self._noise_free:
+            log_sf = float(hyp[self._num_cov - 1])
+            eps = float(jnp.finfo(self._dtype).eps)
+            floor = log_sf + 0.5 * float(np.log(2.0 * n * eps))
+            hyp[-2] = max(float(hyp[-2]), floor)
+        return hyp
 
     def _nll_value(self, hyp):
         return nll(self.kernel, hyp, self._x, self._y, self.solver)

@@ -390,3 +390,25 @@ def test_nll_refined_matches_raw():
         SE_ARD, jnp.asarray(hyp, jnp.float32), jnp.asarray(X, jnp.float32),
         jnp.asarray(y, jnp.float32), tile=256, probes=8))
     assert np.isfinite(f32) and abs(f32 - f_raw) / abs(f_raw) < 1e-4
+
+
+def test_train_start_noise_rescue(monkeypatch):
+    """An INF starting probe first rescues by inflating the start noise
+    (preserving the start's length scales) before falling back to the
+    random global search — the warm-start path at HBM-scale N."""
+    from gp_tpu import GP
+
+    rng = np.random.default_rng(9)
+    X = np.repeat(rng.uniform(-1, 1, (40, 2)), 2, axis=0)   # duplicates
+    y = np.sin(X[:, 0]) + X[:, 1] ** 2
+    gp = GP(X, y)
+    init = np.asarray(gp.get_default_hyps())
+    init[-2] = np.log(1e-12)        # sn2 = 1e-24: singular K0 + tiny noise
+    assert not np.isfinite(gp.nll(init))
+
+    def boom(*a, **k):
+        raise AssertionError("global search must not run: rescue first")
+
+    monkeypatch.setattr(gp, "select_init_hyp", boom)
+    nll = gp.train(init)
+    assert np.isfinite(nll)
