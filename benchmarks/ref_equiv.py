@@ -411,7 +411,7 @@ def eval_at_synth(hyp_path):
 
     rec = json.load(open(hyp_path))
     n = int(rec["metric"].split("_n")[-1].split("_")[0])
-    d = int(rec["metric"].split("_d")[-1])
+    d = int(rec["metric"].split("_d")[-1].split("_")[0])
     X, y = make_data(n, d, seed=rec.get("seed", 42))
     t0 = time.perf_counter()
     nll = gp_nll(np.asarray(rec["hyp"], np.float64), X, y)
@@ -421,6 +421,13 @@ def eval_at_synth(hyp_path):
            "rel_diff": abs(float(nll) - rec["final_nll"])
            / max(abs(rec["final_nll"]), 1.0),
            "oracle_wall_s": round(time.perf_counter() - t0, 1)}
+    if rec.get("final_nll_refined") is not None:
+        # the mixed-precision-repaired chip value (exact.nll_refined) —
+        # the number the refinement claims should land within ~1 nat of
+        # this f64 oracle at N~50k (vs ~50 nats for the plain f32 NLL)
+        ref = float(rec["final_nll_refined"])
+        out["tpu_final_nll_refined"] = ref
+        out["refined_abs_diff_nats"] = abs(float(nll) - ref)
     print(json.dumps(out))
     return out
 
