@@ -168,6 +168,7 @@ def fit50k(n=51200, d=10, warm=False):
     mu = gp.batch_predict_y(Xs_all)
     pred_wall = time.perf_counter() - t0
     rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys_all) ** 2)))
+    res = gp.last_opt_result
     out = {
         "metric": f"tpu_exact_fit_n{n}_d{d}{tag}",
         "value": round(wall, 1), "unit": "s (incl. compile)",
@@ -175,6 +176,13 @@ def fit50k(n=51200, d=10, warm=False):
         "predict_2000_s": round(pred_wall, 2),
         "backend": jax.default_backend(), "seed": 42,
         "warm_start_wall_s": round(warm_wall, 1) if warm else None,
+        "warm_start_hyp": ([float(v) for v in init]
+                           if init is not None else None),
+        # the optimizer's OWN endpoint (original-units f; x in the
+        # standardized optimization space) — diagnosable independently of
+        # any later posterior-cache noise inflation (set_k mutates hyps)
+        "opt_f": float(res.f) if res is not None else None,
+        "opt_evals": int(res.evals) if res is not None else None,
         "hyp": [float(v) for v in gp.get_hyp()],
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -418,9 +418,12 @@ def eval_at_synth(hyp_path):
     out = {"metric": f"cpu_ref_equiv_gp_nll_at_hyp_n{n}",
            "value": float(nll), "unit": "nll",
            "tpu_final_nll": rec.get("final_nll"),
-           "rel_diff": abs(float(nll) - rec["final_nll"])
-           / max(abs(rec["final_nll"]), 1.0),
            "oracle_wall_s": round(time.perf_counter() - t0, 1)}
+    if rec.get("final_nll") is not None:
+        # guarded: *_PARTIAL records (OOM mid-fit) carry hyps but no
+        # final_nll — don't KeyError after the ~18-min oracle Cholesky
+        out["rel_diff"] = (abs(float(nll) - rec["final_nll"])
+                           / max(abs(rec["final_nll"]), 1.0))
     if rec.get("final_nll_refined") is not None:
         # the mixed-precision-repaired chip value (exact.nll_refined) —
         # the number the refinement claims should land within ~1 nat of

@@ -52,6 +52,24 @@ def from_opt_vec(vec, noise_free: bool):
     return jnp.concatenate([vec[:-1], neg_inf, vec[-1:]])
 
 
+def debug_decomp_enabled() -> bool:
+    """True when the per-evaluation NLL decomposition print is on — the
+    analog of the reference's MYDEBUG per-eval output (GP.cpp:144-146,
+    VFE.cpp:242-245).  Requires BOTH debug mode and the verbose-opt knob,
+    so plain debug runs don't flood stderr during a 160-eval fit."""
+    from .. import config
+    return ((config.DEBUG or os.environ.get("GP_TPU_DEBUG", "0") == "1")
+            and os.environ.get("GP_TPU_VERBOSE_OPT", "0") == "1")
+
+
+def debug_print_nll_decomp(tag: str, **terms):
+    """Per-evaluation NLL term breakdown via jax.debug.print (works inside
+    jit, streams back from the device as a host callback).  Checked at
+    TRACE time: zero overhead when the env knobs are off."""
+    fmt = " ".join(f"{k}={{{k}}}" for k in terms)
+    jax.debug.print("[GP_TPU_DEBUG] " + tag + ": " + fmt, **terms)
+
+
 def sanitize_value_and_grad(f, g):
     """INF-objective semantics (GP.cpp:147-171): non-finite value OR any
     non-finite gradient component turns the evaluation into (+inf, 0)."""

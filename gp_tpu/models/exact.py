@@ -18,6 +18,7 @@ all TPU-idiomatic re-designs, not behavior changes:
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -29,7 +30,8 @@ from ..config import INF
 from ..ops.kernels import KernelSpec
 from ..ops.solvers import CHOL, SolverSpec
 from ..optim.lbfgsb import lbfgsb_impl
-from .base import (GPBase, from_opt_vec, hyp_mean, hyp_sn2,
+from .base import (GPBase, debug_decomp_enabled, debug_print_nll_decomp,
+                   from_opt_vec, hyp_mean, hyp_sn2,
                    sanitize_value_and_grad, to_opt_vec)
 
 
@@ -62,15 +64,29 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
         from ..ops.chol import chol_logdet, chol_solve
         L = _factor_k_noise(kernel, chyp, x, sn2, tile=2048)
         alpha = chol_solve(L, r)
-        return (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
-                + 0.5 * n * jnp.log(2 * jnp.pi))
+        data_fit = 0.5 * jnp.dot(r, alpha)
+        half_logdet = 0.5 * chol_logdet(L)
+        norm_const = 0.5 * n * jnp.log(2 * jnp.pi)
+        if debug_decomp_enabled():
+            debug_print_nll_decomp("nll", nlz=data_fit + half_logdet
+                                   + norm_const, data_fit=data_fit,
+                                   half_logdet=half_logdet,
+                                   norm_const=norm_const)
+        return data_fit + half_logdet + norm_const
     from ..ops.blocked import add_diag
     K = add_diag(kernel.k(chyp, x, x), sn2)   # O(N) vs the N^2 eye-add
     f = solver.factor(K)
     alpha = solver.solve(f, r)
     data_fit = 0.5 * jnp.dot(r, alpha)
+    half_logdet = 0.5 * solver.logdet(f)
     norm_const = 0.5 * n * jnp.log(2 * jnp.pi)
-    return data_fit + 0.5 * solver.logdet(f) + norm_const
+    if debug_decomp_enabled():
+        # per-eval decomposition (MYDEBUG parity: GP.cpp:144-146)
+        debug_print_nll_decomp("nll", nlz=data_fit + half_logdet
+                               + norm_const, data_fit=data_fit,
+                               half_logdet=half_logdet,
+                               norm_const=norm_const)
+    return data_fit + half_logdet + norm_const
 
 
 @partial(jax.jit, static_argnames=("kernel", "solver"))
@@ -138,6 +154,11 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     alpha = Kinv @ r
     nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
            + 0.5 * n * jnp.log(2 * jnp.pi))
+    if debug_decomp_enabled():
+        debug_print_nll_decomp("nll_vg", nlz=nll,
+                               data_fit=0.5 * jnp.dot(r, alpha),
+                               half_logdet=0.5 * chol_logdet(L),
+                               norm_const=0.5 * n * jnp.log(2 * jnp.pi))
     Q = Kinv - alpha[:, None] * alpha[None, :]
     g_cov = 0.5 * k_vjp(Q)[0]
     g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
@@ -317,8 +338,6 @@ def nll_refined(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
     every probe (the O(N^2 d) build is the cost; extra GEMM columns are
     nearly free).  Measured at N=51200: 47.5 -> <~1 nat vs the f64 oracle.
     """
-    from ..ops.chol import chol_logdet, chol_solve
-
     n, d = x.shape
     if n % tile:
         for t in (2048, 1024, 512, 256, 128, 64):
@@ -327,12 +346,39 @@ def nll_refined(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
                 break
     nc = kernel.num_hyp(d)
     chyp = hyp[:nc]
+    L = _factor_k_noise(kernel, chyp, x, hyp_sn2(hyp), tile)
+    return _nll_refined_core(kernel, hyp, x, y, L, None, tile, probes, seed)
+
+
+@partial(jax.jit, static_argnames=("kernel", "tile", "probes"))
+def nll_refined_with_factor(kernel: KernelSpec, hyp, x, y, L, alpha0=None,
+                            tile: int = 2048, probes: int = 16,
+                            seed: int = 0):
+    """nll_refined reusing an already-computed Cholesky factor (e.g. the
+    train() posterior cache): only the O(N^2) refinement sweep runs — no
+    second O(N^3) factorization next to the live cache.  `alpha0` may pass
+    the cached K^{-1}(y - mean) (invKys) to skip the initial solve."""
+    if x.shape[0] % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and x.shape[0] % t == 0:
+                tile = t
+                break
+    return _nll_refined_core(kernel, hyp, x, y, L, alpha0, tile, probes,
+                             seed)
+
+
+def _nll_refined_core(kernel, hyp, x, y, L, alpha0, tile, probes, seed):
+    from ..ops.chol import chol_logdet, chol_solve
+
+    n = x.shape[0]
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
     sn2 = hyp_sn2(hyp)
     mean = hyp_mean(hyp)
     r = y - mean
 
-    L = _factor_k_noise(kernel, chyp, x, sn2, tile)
-    alpha0 = chol_solve(L, r)
+    if alpha0 is None:
+        alpha0 = chol_solve(L, r)
 
     z = (jax.random.bernoulli(jax.random.PRNGKey(seed), 0.5, (n, probes))
          .astype(x.dtype) * 2.0 - 1.0)
@@ -403,6 +449,11 @@ def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
     alpha = chol_solve(L, r)
     nll = (0.5 * jnp.dot(r, alpha) + 0.5 * chol_logdet(L)
            + 0.5 * n * jnp.log(2 * jnp.pi))
+    if debug_decomp_enabled():
+        debug_print_nll_decomp("nll_vg_streamed", nlz=nll,
+                               data_fit=0.5 * jnp.dot(r, alpha),
+                               half_logdet=0.5 * chol_logdet(L),
+                               norm_const=0.5 * n * jnp.log(2 * jnp.pi))
 
     row = jnp.arange(n)
 
@@ -648,6 +699,13 @@ def set_k_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
         L = None  # free the failed factor BEFORE the retry program runs
         L, ok = attempt(log_sn)
         tries += 1
+    if tries:
+        # noise inflation is a MODEL CHANGE (GP.cpp:431-440 mutates _hyps);
+        # at HBM scale it can silently turn a good fit into a noise-only
+        # model, so always say it happened
+        print(f"[gp_tpu] set_k_streamed: noise inflated {tries}x to "
+              f"log_sn={log_sn:.4f} before the factorization succeeded",
+              file=sys.stderr, flush=True)
     hyp = hyp.at[-2].set(jnp.asarray(log_sn, hyp.dtype))
     invKys = _invkys_from_chol(kernel, hyp, L, y)
     return hyp, (L,), invKys
@@ -845,14 +903,30 @@ class GP(GPBase):
         (L, invKys) instead of a second full build+factor — the fresh
         nll() program next to the live 10.5 GB posterior slabs was a
         measured RESOURCE_EXHAUSTED at N=51200 f32 on the 16 GB chip.
-        Identical math to nll_raw's streamed branch (GP.cpp:138-143):
-        invKys IS alpha = K^-1 (y - mean) at the post-rescue hyps."""
+
+        The reported value is nll_refined_with_factor off the SAME cached
+        f32 factor: one O(N^2) mixed-precision repair sweep (iterative
+        refinement on alpha + Hutchinson logdet correction) removes the
+        ~1 mnat/pt f32 factorization rounding the raw posterior NLL
+        carries at this N (measured 8.9e-4 rel vs the f64 oracle at
+        N=51200 raw).  Falls back to the raw value (GP.cpp:138-143 math:
+        invKys IS alpha = K^-1 (y - mean) at the post-rescue hyps) if the
+        refinement sweep itself fails (e.g. OOM next to the live cache) —
+        a wrong-precision answer must never lose a 49-minute fit."""
         if not (self.solver.name == "chol"
                 and self._x.shape[0] >= _STREAM_MIN_N
                 and self._post is not None):
             return None
         from ..ops.chol import chol_logdet
         L, invKys = self._post[0], self._post[-1]
+        try:
+            v = float(nll_refined_with_factor(
+                self.kernel, self._hyps, self._x, self._y, L, invKys))
+            if np.isfinite(v):
+                return v
+        except Exception as ex:   # noqa: BLE001 — refined NLL is optional
+            print(f"[gp_tpu] refined-NLL epilogue failed ({ex!r}); "
+                  "reporting the raw f32 posterior NLL", file=sys.stderr)
         r = self._y - jnp.asarray(hyp_mean(self._hyps), self._y.dtype)
         n = self._x.shape[0]
         v = float(0.5 * jnp.dot(r, invKys) + 0.5 * chol_logdet(L)

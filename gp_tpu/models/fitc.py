@@ -64,6 +64,14 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, u, jitter):
     fit = jnp.dot(inv_gamma * r, r - Kxu @ chol_solve(LA, t1)) / sn2
     complexity = (chol_logdet(LA) - chol_logdet(Luu)
                   + jnp.sum(jnp.log(gamma)) + (n - m) * jnp.log(sn2))
+    from .base import debug_decomp_enabled, debug_print_nll_decomp
+    if debug_decomp_enabled():
+        # per-eval decomposition (MYDEBUG parity: GP.cpp:144-146 analog)
+        debug_print_nll_decomp(
+            "fitc_nll",
+            nlz=0.5 * (fit + complexity + n * jnp.log(2 * jnp.pi)),
+            data_fit=0.5 * fit, complexity=0.5 * complexity,
+            norm_const=0.5 * n * jnp.log(2 * jnp.pi))
     return 0.5 * (fit + complexity + n * jnp.log(2 * jnp.pi))
 
 

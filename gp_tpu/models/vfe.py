@@ -66,6 +66,13 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, u, jitter):
     # clamp: the trace of the Nystrom residual is >= 0 mathematically
     trace_term = 0.5 * jnp.maximum(
         jnp.sum(kernel.diag_k(chyp, x)) - jnp.sum(V * V), 0.0) / sn2
+    from .base import debug_decomp_enabled, debug_print_nll_decomp
+    if debug_decomp_enabled():
+        # per-eval decomposition (MYDEBUG parity: VFE.cpp:242-245)
+        debug_print_nll_decomp(
+            "vfe_nll", nlz=f0 + complexity + data_fit + trace_term,
+            data_fit=data_fit, complexity=complexity,
+            trace_term=trace_term, norm_const=f0)
     return f0 + complexity + data_fit + trace_term
 
 

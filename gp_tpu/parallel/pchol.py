@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..ops.slabbed import MAX_SLAB_ELEMS
+
 
 # --------------------------------------------------------------------------
 # Layout helpers (host or trace time)
@@ -54,6 +56,36 @@ def unblocked_layout(a):
 def pad_amount(n: int, n_dev: int, block: int) -> int:
     q = n_dev * block
     return (-n) % q
+
+
+def max_safe_n(n_dev: int) -> int:
+    """Largest N whose per-device (nbl, B, N_pad) shard stays int32-safe."""
+    return int((MAX_SLAB_ELEMS * n_dev) ** 0.5)
+
+
+def check_shard_addressable(n_pad: int, n_dev: int) -> None:
+    """Refuse per-device shards past XLA:TPU's proven int32-safe bound.
+
+    The distributed factorization keeps each device's row blocks as ONE
+    (nbl, B, N_pad) buffer of n_pad^2 / n_dev elements and updates it in
+    place per panel.  On XLA:TPU, in-place fused updates on any buffer
+    past 2^30 elements SILENTLY corrupt (measured at N=51200 single-chip:
+    0.68 absolute error in `L.at[c1:, c1:].add(-(pan @ pan.T))` while every
+    individual slice/DUS/GEMM on the same buffer is correct — see
+    ops/slabbed.py's module docstring; 2^30 is the verified-clean bound).
+    Virtual-CPU-mesh tests cannot catch this (the defect is XLA:TPU
+    code-gen), so the wall must be a hard wrapper-level error, never a
+    silent wrong answer.
+    """
+    elems = n_pad * n_pad // n_dev
+    if elems > MAX_SLAB_ELEMS:
+        need = -(-n_pad * n_pad // MAX_SLAB_ELEMS)
+        raise ValueError(
+            f"distributed shard of {elems} elements per device "
+            f"(N_pad={n_pad} over {n_dev} devices) exceeds the proven "
+            f"int32-safe in-place-update bound of 2^30 elements on "
+            f"XLA:TPU; use >= {need} devices for this N "
+            f"(max safe N at {n_dev} devices: {max_safe_n(n_dev)})")
 
 
 def auto_block(n: int, n_dev: int, max_panels: int = 28,
@@ -89,6 +121,14 @@ def pchol_local(K_loc, n_dev: int, axis_name: str):
     with exact lower-triangular structure (upper blocks zeroed).  A non-SPD
     input surfaces as NaNs in the factor diagonal (chol_ok semantics,
     ops/chol.py) — the jitter-escalation wrappers detect that.
+
+    No final masking pass: the panel write at step j already stores exact
+    zeros above the diagonal of columns [j*B, (j+1)*B), and no later step
+    touches those columns (trailing updates only hit columns >= (j+1)*B,
+    themselves overwritten by their own panel writes) — so the factor
+    leaves the loop with exact lower-triangular structure.  The N^2/P
+    broadcast-compare select this replaces cost a measured 4.7 ms at
+    N=16384 on the single-chip path (ops/blocked.py zero_upper=False).
     """
     nbl, B, N = K_loc.shape
     nb = nbl * n_dev
@@ -119,16 +159,19 @@ def pchol_local(K_loc, n_dev: int, axis_name: str):
         full = jax.lax.all_gather(panel, axis_name)      # [q, l] = block l*P+q
         full = full.transpose(1, 0, 2, 3).reshape(N, B)  # [g] natural
 
-        # 4. trailing update (static shrinking width) — the MXU matmul
-        if c1 < N:
-            upd = jnp.einsum("lrk,ck->lrc", panel, full[c1:, :])
-            K_loc = K_loc.at[:, :, c1:].add(-upd)
+        # 4. trailing update (static shrinking width) — the MXU matmul.
+        #    Local blocks l < (j+1)//P have g = l*P + p <= j on EVERY
+        #    device: their panel rows are zero (or the finalized diagonal,
+        #    whose trailing columns get overwritten later), so the update
+        #    is sliced to start at l0 — the block-cyclic analog of the
+        #    shrinking trailing matrix, halving update FLOPs vs the
+        #    full-height einsum (N^3/3 total instead of N^3/2).
+        l0 = (j + 1) // n_dev
+        if c1 < N and l0 < nbl:
+            upd = jnp.einsum("lrk,ck->lrc", panel[l0:], full[c1:, :])
+            K_loc = K_loc.at[l0:, :, c1:].add(-upd)
 
-    # zero the strictly-upper blocks (they hold update garbage)
-    col = jnp.arange(N)
-    keep = col[None, None, :] < ((g[:, None] + 1) * B)[:, :, None] * jnp.ones(
-        (1, B, 1), jnp.int32)
-    return jnp.where(keep, K_loc, 0.0)
+    return K_loc
 
 
 def plogdet_local(L_loc, n_dev: int, axis_name: str):
@@ -165,8 +208,13 @@ def ptrsm_lower_local(L_loc, R_loc, n_dev: int, axis_name: str):
         wj = jax.lax.psum(
             jnp.where(p == owner, wj, jnp.zeros_like(wj)), axis_name)
         W = W.at[lj].set(jnp.where(p == owner, wj, W[lj]))
-        upd = jnp.einsum("lrk,kt->lrt", L_loc[:, :, c0:c1], wj)
-        W = W - jnp.where((g > j)[:, None, None], upd, 0.0)
+        # blocks l < (j+1)//P have g <= j on every device (masked anyway):
+        # slice them out of the update GEMM — halves the TRSM FLOPs
+        l0 = (j + 1) // n_dev
+        if l0 < nbl:
+            upd = jnp.einsum("lrk,kt->lrt", L_loc[l0:, :, c0:c1], wj)
+            W = W.at[l0:].add(
+                -jnp.where((g[l0:] > j)[:, None, None], upd, 0.0))
     return W
 
 
@@ -188,12 +236,18 @@ def ptrsm_lowerT_local(L_loc, R_loc, n_dev: int, axis_name: str):
     for j in range(nb - 1, -1, -1):
         lj, owner = j // n_dev, j % n_dev
         c0, c1 = j * B, (j + 1) * B
-        # partial = sum over local blocks g > j of L[g, j]^T X[g]
-        Lj = jnp.where((g > j)[:, None, None], L_loc[:, :, c0:c1], 0.0)
-        Xg = jax.vmap(
-            lambda gi: jax.lax.dynamic_slice(Xfull, (gi * B, 0), (B, T))
-        )(g)                                             # (nbl, B, T)
-        part = jnp.einsum("lkr,lkt->rt", Lj, Xg)
+        # partial = sum over local blocks g > j of L[g, j]^T X[g];
+        # blocks l < (j+1)//P have g <= j on every device — sliced out
+        l0 = (j + 1) // n_dev
+        if l0 >= nbl:
+            part = jnp.zeros((B, T), R_loc.dtype)
+        else:
+            Lj = jnp.where((g[l0:] > j)[:, None, None],
+                           L_loc[l0:, :, c0:c1], 0.0)
+            Xg = jax.vmap(
+                lambda gi: jax.lax.dynamic_slice(Xfull, (gi * B, 0), (B, T))
+            )(g[l0:])                                    # (nbl-l0, B, T)
+            part = jnp.einsum("lkr,lkt->rt", Lj, Xg)
         acc = jax.lax.psum(part, axis_name)
         xj = solve_triangular(L_loc[lj, :, c0:c1], R_loc[lj] - acc,
                               lower=True, trans=1)
@@ -238,3 +292,24 @@ def pinv_from_chol_local(L_loc, n_dev: int, axis_name: str):
         full = jax.lax.psum(part, axis_name)
         Kinv = Kinv.at[lj].set(jnp.where(p == owner, full, Kinv[lj]))
     return Kinv
+
+
+def pkinv_rowblock_local(W, l: int, n_dev: int, axis_name: str):
+    """This device's K^{-1} rows for its local block l, streamed.
+
+    W: (nbl, B, N) row-sharded L^{-1} (from ptrsm_lower_local with one-hot
+    identity rows).  K^{-1} = W^T W, so the rows of global blocks
+    {l*P + p : p} are the contiguous column slice W[:, :, l*P*B:(l+1)*P*B]
+    contracted against all of W — one local sliced SYRK per device — and a
+    single psum_scatter both sums the partials over devices AND hands each
+    device exactly its own block's (B, N) rows.  Per-call comm is N*B/P
+    received per device (vs N*B psum-replicated in pinv_from_chol_local),
+    and no (nbl, B, N) K^{-1} buffer is ever materialized: the caller
+    consumes each row block immediately (streamed analytic gradient,
+    pgp.pnll_vg_local — the shard_map analog of exact.nll_vg_streamed).
+    """
+    nbl, B, N = W.shape
+    cs = l * n_dev * B
+    part = jnp.einsum("lrc,lrn->cn", W[:, :, cs:cs + n_dev * B], W)
+    return jax.lax.psum_scatter(part, axis_name, scatter_dimension=0,
+                                tiled=True)

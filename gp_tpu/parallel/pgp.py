@@ -103,22 +103,46 @@ def pnll_vg_local(kernel: KernelSpec, hyp, x_pad, y_pad, n_real: int,
     logdet = pchol.plogdet_local(L_loc, n_dev, AXIS)
     nll = data_fit + 0.5 * logdet + 0.5 * n_real * jnp.log(2 * jnp.pi)
 
-    # ---- analytic gradient ------------------------------------------------
-    Kinv_loc = pchol.pinv_from_chol_local(L_loc, n_dev, AXIS)      # (nbl,B,N)
+    # ---- analytic gradient, streamed (GP.cpp:151-171 semantics) -----------
+    # K^{-1} is NEVER materialized: W = L^{-1} (rows, sharded) is the only
+    # N^2/P gradient buffer next to L_loc, and each local row block's
+    # Q_g = K^{-1}[g-rows] - alpha_g alpha^T is produced by one sliced
+    # SYRK + psum_scatter (pchol.pkinv_rowblock_local) and contracted
+    # IMMEDIATELY against a per-block kernel-row rebuild via vjp —
+    # the shard_map analog of exact.nll_vg_streamed.  Live working set
+    # ~2 N^2/P buffers (vs ~4 with pinv_from_chol_local); per-tile vjp
+    # rebuild costs O(N^2 d / P) total, nothing at the O(N^3/P) scale.
+    N_pad = x_pad.shape[0]
+    nbl = N_pad // (block * n_dev)
+
+    # W = L^{-1} rows: one-hot identity rows through the distributed TRSM
+    eye_rows = (row_ids[:, :, None] == jnp.arange(N_pad)[None, None, :]
+                ).astype(x_pad.dtype)
+    W = pchol.ptrsm_lower_local(L_loc, eye_rows, n_dev, AXIS)
+
     # replicated full alpha from the sharded rows
     a_gath = jax.lax.all_gather(a_loc[..., 0], AXIS)               # (P,nbl,B)
     a_full = a_gath.transpose(1, 0, 2).reshape(-1)                 # natural
-    Q_loc = Kinv_loc - a_loc * a_full[None, None, :]
+    col_real = jnp.arange(N_pad) < n_real
 
-    builder = lambda c: _build_k0_local(kernel, c, x_pad, n_real,
-                                        n_dev, block)[0]
-    _, vjp = jax.vjp(builder, chyp)
-    g_cov = 0.5 * jax.lax.psum(vjp(Q_loc)[0], AXIS)
-
-    diag_Kinv = jnp.take_along_axis(Kinv_loc, row_ids[:, :, None],
-                                    axis=2)[..., 0]
-    tr_Q = jax.lax.psum(
-        jnp.sum(real * (diag_Kinv - a_loc[..., 0] ** 2)), AXIS)
+    g_cov = jnp.zeros((chyp.shape[0],), hyp.dtype)
+    tr_loc = jnp.zeros((), hyp.dtype)
+    for l in range(nbl):                                 # static unroll
+        Kinv_g = pchol.pkinv_rowblock_local(W, l, n_dev, AXIS)     # (B, N)
+        rid = row_ids[l]                                           # (B,)
+        a_g = a_loc[l, :, 0]
+        Q_g = Kinv_g - a_g[:, None] * a_full[None, :]
+        # padded rows/cols are constants of the builder: zero cotangent
+        Q_g = jnp.where((rid[:, None] < n_real) & col_real[None, :],
+                        Q_g, 0.0)
+        x_g = x_pad[rid]                                           # (B, d)
+        _, vjp = jax.vjp(lambda c: kernel.k(c, x_g, x_pad), chyp)
+        g_cov = g_cov + 0.5 * vjp(Q_g)[0]
+        diag_g = jnp.take_along_axis(Kinv_g, rid[:, None], axis=1)[:, 0]
+        tr_loc = tr_loc + jnp.sum(
+            real[l] * (diag_g - a_g ** 2))
+    g_cov = jax.lax.psum(g_cov, AXIS)
+    tr_Q = jax.lax.psum(tr_loc, AXIS)
     g_sn = sn2 * tr_Q
     g_mean = -jax.lax.psum(jnp.sum(a_loc), AXIS)
 
@@ -133,6 +157,9 @@ def pnll_vg_local(kernel: KernelSpec, hyp, x_pad, y_pad, n_real: int,
 def _pad_xy(x, y, n_dev: int, block: int):
     n = x.shape[0]
     pad = pchol.pad_amount(n, n_dev, block)
+    # single choke point for the int32-addressing wall: every distributed
+    # entry (pnll_vg/pfit/pset_k/pfit_multistart, multihost.*) pads here
+    pchol.check_shard_addressable(n + pad, n_dev)
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
         y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])

@@ -118,3 +118,66 @@ def test_pchol_nonspd_produces_nan(mesh):
         kl.squeeze(1), NDEV, "rows")[:, None])
     Lb = np.asarray(jax.jit(fn)(Kb))
     assert not np.all(np.isfinite(Lb))
+
+
+def test_pkinv_rowblock_streamed(mesh):
+    """The streamed K^-1 row-block generator (sliced SYRK + psum_scatter)
+    agrees with the materializing pinv_from_chol_local block for block."""
+    n, B = 64, 4
+    K = _spd(n, 6)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+    nbl = n // (NDEV * B)
+
+    def body(kl):
+        L = pchol.pchol_local(kl.squeeze(1), NDEV, "rows")
+        g = pchol._local_blocks(nbl, NDEV, "rows")
+        row_ids = g[:, None] * B + jnp.arange(B)[None, :]
+        eye_rows = (row_ids[:, :, None] == jnp.arange(n)[None, None, :]
+                    ).astype(L.dtype)
+        W = pchol.ptrsm_lower_local(L, eye_rows, NDEV, "rows")
+        blocks = [pchol.pkinv_rowblock_local(W, l, NDEV, "rows")
+                  for l in range(nbl)]
+        return jnp.stack(blocks)[:, None]          # (nbl, 1, B, n)
+
+    Zb = jax.jit(shard_map(body, mesh=mesh, in_specs=P(None, "rows"),
+                           out_specs=P(None, "rows")))(Kb)
+    Z = pchol.unblocked_layout(np.asarray(Zb))     # natural row order
+    np.testing.assert_allclose(Z, np.linalg.inv(K), rtol=1e-8, atol=1e-9)
+
+
+def test_int32_shard_guard_bounds():
+    """check_shard_addressable trips exactly past 2^30 elements/device
+    (the proven XLA:TPU in-place corruption wall, ops/slabbed.py)."""
+    # 92672^2 / 8 = 1.0735e9 <= 2^30*... compute exact: ok below, raise above
+    ok_n = int((float(1 << 30) * 8) ** 0.5) // 256 * 256          # 92416
+    assert ok_n * ok_n // 8 <= (1 << 30)
+    pchol.check_shard_addressable(ok_n, 8)         # must not raise
+    bad_n = ok_n + 2048
+    assert bad_n * bad_n // 8 > (1 << 30)
+    with pytest.raises(ValueError, match="int32-safe"):
+        pchol.check_shard_addressable(bad_n, 8)
+    # the error message suggests a workable device count
+    try:
+        pchol.check_shard_addressable(bad_n, 8)
+    except ValueError as e:
+        import re
+        need = int(re.search(r"use >= (\d+) devices", str(e)).group(1))
+        assert bad_n * bad_n // need <= (1 << 30)
+
+
+def test_int32_guard_wired_into_wrappers(mesh, monkeypatch):
+    """Every distributed entry point routes through the guard: with the
+    safe bound lowered, a small pnll_vg call must refuse loudly instead
+    of silently corrupting (the failure mode measured on real TPU)."""
+    from gp_tpu.ops.kernels import get_kernel
+    from gp_tpu.parallel import pchol as pchol_mod, pgp
+
+    rng = np.random.default_rng(0)
+    n, d = 64, 3
+    X = rng.standard_normal((n, d))
+    y = rng.standard_normal(n)
+    from gp_tpu.models.base import default_hyps
+    hyp = default_hyps(get_kernel("se_ard"), X, y, 1e-3, False)
+    monkeypatch.setattr(pchol_mod, "MAX_SLAB_ELEMS", 64)
+    with pytest.raises(ValueError, match="int32-safe"):
+        pgp.pnll_vg(get_kernel("se_ard"), hyp, X, y, mesh, block=4)
