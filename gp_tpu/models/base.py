@@ -203,6 +203,7 @@ class GPBase:
         self._hyps = None
         self._key = jax.random.PRNGKey(seed)
         self._post = None            # model-specific posterior cache
+        self._post_aux = None        # stream-regime scalars (logdet, nll)
         self._ms_fun = None          # cached multistart objective closure
         self._obj_fun = None         # cached (f,g) objective closure
 

@@ -27,7 +27,7 @@ import numpy as np
 from jax.scipy.linalg import solve_triangular
 
 from ..config import INF
-from ..ops.kernels import KernelSpec
+from ..ops.kernels import KernelSpec, get_k_noise
 from ..ops.solvers import CHOL, SolverSpec
 from ..optim.lbfgsb import lbfgsb_impl
 from .base import (GPBase, debug_decomp_enabled, debug_print_nll_decomp,
@@ -73,8 +73,7 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
                                    half_logdet=half_logdet,
                                    norm_const=norm_const)
         return data_fit + half_logdet + norm_const
-    from ..ops.blocked import add_diag
-    K = add_diag(kernel.k(chyp, x, x), sn2)   # O(N) vs the N^2 eye-add
+    K = get_k_noise(kernel)(chyp, sn2, x, n)  # fused single-pass build
     f = solver.factor(K)
     alpha = solver.solve(f, r)
     data_fit = 0.5 * jnp.dot(r, alpha)
@@ -109,7 +108,7 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     through the factorization (AD backward measured at 2.7x the forward).
     NaN/inf propagate (caller sanitizes).  Cholesky-only.
     """
-    from ..ops.blocked import add_diag, spd_inv_from_chol
+    from ..ops.blocked import spd_inv_from_chol
     from ..ops.chol import chol_logdet, cholesky
 
     nc = kernel.num_hyp(x.shape[1])
@@ -120,6 +119,10 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
 
     from ..ops import chol as chol_mod
     blk = chol_mod._block_for(n)
+    # the kernel-and-noise build is ONE fused pass (KernelSpec.k_noise):
+    # any separate diagonal op on the built K costs a full N^2 pass on the
+    # opaque custom-call output (see pallas_kernels._se_tile_kernel_diag)
+    build = lambda c, s2: get_k_noise(kernel)(c, s2, x, n)
     if chol_mod._use_blocked(n) and n % blk:
         if kernel.name.startswith("se_"):
             # capacity path: decoy rows whose SE covariances underflow to
@@ -132,21 +135,17 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
         # and spd_inv each pad adds a full-matrix pad + slice-back pair
         # (~1.6 ms at N=8000 f32, v5e)
         from ..ops.blocked import blocked_cholesky
-        build = lambda c: kernel.k(c, x, x)
-        K0, k_vjp = jax.vjp(build, chyp)
-        K = add_diag(K0, sn2)
+        K, k_vjp = jax.vjp(build, chyp, sn2)
         p = blk - n % blk
         Kp = jnp.zeros((n + p, n + p), K.dtype).at[:n, :n].set(K)
         Kp = Kp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
         L = blocked_cholesky(Kp, block=blk, zero_upper=False)
         Kinv = spd_inv_from_chol(L)[:n, :n]
     else:
-        build = lambda c: kernel.k(c, x, x)
-        K0, k_vjp = jax.vjp(build, chyp)
-        # O(N) diagonal scatter instead of + sn2*eye (full N^2
-        # select+add); zero_upper=False: everything downstream (tri_inv
-        # strips, logdet diagonal) reads only the lower triangle
-        L = cholesky(add_diag(K0, sn2), zero_upper=False)
+        K, k_vjp = jax.vjp(build, chyp, sn2)
+        # zero_upper=False: everything downstream (tri_inv strips, logdet
+        # diagonal) reads only the lower triangle
+        L = cholesky(K, zero_upper=False)
         Kinv = spd_inv_from_chol(L)
     r = y - mean
     # alpha from the (already needed) explicit inverse: one O(N^2) matvec
@@ -160,8 +159,9 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
                                half_logdet=0.5 * chol_logdet(L),
                                norm_const=0.5 * n * jnp.log(2 * jnp.pi))
     Q = Kinv - alpha[:, None] * alpha[None, :]
-    g_cov = 0.5 * k_vjp(Q)[0]
-    g_sn = sn2 * (jnp.trace(Kinv) - jnp.dot(alpha, alpha))
+    g_cov_t, g_sn2 = k_vjp(Q)
+    g_cov = 0.5 * g_cov_t
+    g_sn = sn2 * g_sn2        # = sn2 (tr(Kinv) - a^T a), via the vjp
     g_mean = -jnp.sum(alpha)
     grad = jnp.concatenate(
         [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
@@ -216,12 +216,14 @@ def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
         big[i % d] * (1.0 + (i // d).astype(x.dtype)))
     x_cap = jnp.concatenate([x, pads], axis=0)
 
-    build = lambda c: kernel.k(c, x_cap, x_cap)
-    K0, k_vjp = jax.vjp(build, chyp)
+    # single-pass build: the noise diagonal (and the exact decoy diag sf2)
+    # is written inside the kernel tiles — a post-hoc diagonal scatter on
+    # the opaque custom-call output costs a full N^2 kCustom pass plus
+    # layout repairs (measured 2.3 ms at this N, ~9% of the objective)
     ids = jnp.arange(n_cap)
     real = ids < n
-    diag_vals = jnp.where(real, jnp.diagonal(K0) + sn2, sf2)
-    K = K0.at[ids, ids].set(diag_vals)
+    build = lambda c, s2: get_k_noise(kernel)(c, s2, x_cap, n)
+    K, k_vjp = jax.vjp(build, chyp, sn2)
 
     L = blocked_cholesky(K, block=blk, zero_upper=False)
     Kinv = spd_inv_from_chol(L)
@@ -233,12 +235,16 @@ def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
            + 0.5 * n * jnp.log(2 * jnp.pi))
 
     # pad-diag zeroing folded into the Q fusion (a scatter would copy the
-    # whole N^2 buffer)
+    # whole N^2 buffer) — also the k_noise cotangent contract
     pad_diag = (ids[:, None] == ids[None, :]) & (ids[:, None] >= n)
     Q = jnp.where(pad_diag, 0.0,
                   Kinv - alpha[:, None] * alpha[None, :])
-    g_cov = 0.5 * k_vjp(Q)[0]
-    g_sn = sn2 * (jnp.trace(Kinv) - n_pad / sf2 - jnp.dot(alpha, alpha))
+    g_cov_t, g_sn2 = k_vjp(Q)
+    g_cov = 0.5 * g_cov_t
+    # d sn2/d log_sn = 2 sn2, and the 0.5 of the Q contraction:
+    # g_sn = sn2 * sum_real(Q_ii) — identical to the explicit
+    # sn2 (tr(Kinv) - n_pad/sf2 - a^T a) this replaces (decoy alpha = 0)
+    g_sn = sn2 * g_sn2
     g_mean = -jnp.sum(alpha)
     grad = jnp.concatenate(
         [g_cov, jnp.stack([g_sn, g_mean]).astype(g_cov.dtype)])
@@ -347,27 +353,17 @@ def nll_refined(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
     nc = kernel.num_hyp(d)
     chyp = hyp[:nc]
     L = _factor_k_noise(kernel, chyp, x, hyp_sn2(hyp), tile)
-    return _nll_refined_core(kernel, hyp, x, y, L, None, tile, probes, seed)
+    _, _, nll = _refined_terms(kernel, hyp, x, y, L, None, tile, probes,
+                               seed)
+    return nll
 
 
-@partial(jax.jit, static_argnames=("kernel", "tile", "probes"))
-def nll_refined_with_factor(kernel: KernelSpec, hyp, x, y, L, alpha0=None,
-                            tile: int = 2048, probes: int = 16,
-                            seed: int = 0):
-    """nll_refined reusing an already-computed Cholesky factor (e.g. the
-    train() posterior cache): only the O(N^2) refinement sweep runs — no
-    second O(N^3) factorization next to the live cache.  `alpha0` may pass
-    the cached K^{-1}(y - mean) (invKys) to skip the initial solve."""
-    if x.shape[0] % tile:
-        for t in (2048, 1024, 512, 256, 128, 64):
-            if t < tile and x.shape[0] % t == 0:
-                tile = t
-                break
-    return _nll_refined_core(kernel, hyp, x, y, L, alpha0, tile, probes,
-                             seed)
+def _refined_terms(kernel, hyp, x, y, L, alpha0, tile, probes, seed):
+    """(alpha_refined, logdet_f64, nll_refined_f64) from an f32 factor.
 
-
-def _nll_refined_core(kernel, hyp, x, y, L, alpha0, tile, probes, seed):
+    One iterative-refinement step on alpha plus the Hutchinson logdet
+    correction, sharing a single streamed kernel-build sweep (see
+    nll_refined's docstring for the math and the measured accuracies)."""
     from ..ops.chol import chol_logdet, chol_solve
 
     n = x.shape[0]
@@ -402,8 +398,9 @@ def _nll_refined_core(kernel, hyp, x, y, L, alpha0, tile, probes, seed):
     data_fit = jnp.dot(r.astype(jnp.float64), alpha.astype(jnp.float64))
     logdet = (chol_logdet(L).astype(jnp.float64)
               + tr_e.astype(jnp.float64))
-    return (0.5 * data_fit + 0.5 * logdet
-            + 0.5 * n * jnp.log(2 * jnp.pi)).astype(jnp.float64)
+    nll = (0.5 * data_fit + 0.5 * logdet
+           + 0.5 * n * jnp.log(2 * jnp.pi)).astype(jnp.float64)
+    return alpha, logdet, nll
 
 
 def nll_vg_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 4096):
@@ -619,96 +616,112 @@ def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
     return hyp, f, invKys
 
 
-@partial(jax.jit, static_argnames=("kernel", "tile"))
-def _set_k_attempt(kernel: KernelSpec, chyp, log_sn, x, tile: int = 2048):
-    """One posterior-factor attempt at ~1x N^2 peak: K + sn2 I built
-    tile-by-tile (or slab-by-slab past the int32 single-buffer limit)
-    and factored in place."""
+@partial(jax.jit, static_argnames=("kernel", "tile", "probes"))
+def _posterior_attempt_streamed(kernel: KernelSpec, hyp, x, y,
+                                tile: int = 2048, probes: int = 16,
+                                seed: int = 0):
+    """One stream-regime posterior attempt with the factor as a PROGRAM
+    TEMP: build + factor + alpha + refined NLL in a single jitted program
+    whose only outputs are (ok, invKys, logdet_f64, nll_refined_f64).
+
+    Why the factor is never a program output at this scale (all measured
+    at N=51200 f32 on the 16 GB v5e, round 3):
+
+    * returning default-width (8192) slabs OOMs — XLA materializes the
+      outputs next to the build's in-place chain (~2x 10.5 GB);
+    * narrowing to width-4096 slabs fits but the factorization SILENTLY
+      CORRUPTS (NaN diagonal from row ~1024 at ANY noise up to 115x the
+      conditioning floor — a real SPD failure there is impossible), the
+      third size/shape-dependent in-place defect of this runtime after
+      the 2^31 single-buffer wall and the donation corruption
+      (ops/slabbed.py docstring);
+    * the objective-identical shape — default-width slabs as temps, small
+      outputs — is verified clean at conditioning ratios 12 and 115 and
+      across 160-eval fits.
+
+    The refined alpha doubles as invKys (one iterative-refinement step,
+    squared backward error), and the refined NLL is computed here so
+    train() never needs the factor again.
+    """
+    if x.shape[0] % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and x.shape[0] % t == 0:
+                tile = t
+                break
     from ..ops.chol import chol_ok
 
-    L = _factor_k_noise(kernel, chyp, x, jnp.exp(2.0 * log_sn), tile)
-    return L, chol_ok(L)
-
-
-@partial(jax.jit, static_argnames=("kernel", "width"))
-def _set_k_attempt_slabbed(kernel: KernelSpec, chyp, log_sn, x,
-                           width: int = 4096):
-    """Slab-regime posterior-factor attempt: build + factor + SPD probe in
-    ONE program, narrow slabs, no donation.
-
-    Two measured hazards shaped this (N=51200 f32, 16 GB chip):
-    * the scheduler interleaves trailing-update GEMM temps from many
-      panels (~8 GB concurrent) — fixed by the per-panel
-      optimization_barrier in slabbed_cholesky plus width 4096, which
-      halves the slab-granularity copy + fragmentation overhead;
-    * donating the K slabs into a separate factor program (input-output
-      aliasing) SILENTLY CORRUPTS the factorization at this size — NaNs
-      from row 3584 on — while the identical math is correct at N=40960
-      and correct at N=51200 when the slabs are program temps.  Another
-      size-dependent in-place defect of this runtime (see ops/slabbed.py
-      module docstring for the first); donation is therefore avoided."""
-    from ..ops.chol import chol_ok, cholesky
-    from ..ops.slabbed import build_k_noise_slabs
-
-    slabs = build_k_noise_slabs(kernel, chyp, x, jnp.exp(2.0 * log_sn),
-                                block=2048, width=width)
-    L = cholesky(slabs)
-    return L, chol_ok(L)
-
-
-@partial(jax.jit, static_argnames=("kernel",))
-def _invkys_from_chol(kernel: KernelSpec, hyp, L, y):
-    from ..ops.chol import chol_solve
-
-    return chol_solve(L, y - hyp_mean(hyp))
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    L = _factor_k_noise(kernel, chyp, x, hyp_sn2(hyp), tile)
+    ok = chol_ok(L)
+    alpha, logdet, nll_ref = _refined_terms(kernel, hyp, x, y, L, None,
+                                            tile, probes, seed)
+    return ok, alpha, logdet, nll_ref
 
 
 def set_k_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
-                   max_tries: int = 64):
+                   max_tries: int = 32):
     """set_k semantics (GP::_setK, GP.cpp:423-444) for HBM-bound N.
 
-    The jitted set_k holds Kcov live across its lax.while_loop rescue plus
-    the factor output — two N^2 buffers, an OOM at N>=45k f32 on a 16 GB
-    chip.  Here each ATTEMPT is one jitted program (build-tiled + factor
-    in place, ~1x N^2 peak) and the noise-inflation schedule
-    (log_sn += log sqrt(10), restarting at log eps from -inf) runs on the
-    host between attempts; retries re-enter the same compiled program with
-    a different log_sn operand.  Chol-solver only.
+    Each attempt is one factor-as-temp program (_posterior_attempt_streamed)
+    re-entered with a different noise operand; the factor itself is NEVER
+    cached (see that docstring).  Returns (hyp', aux, invKys) with
+    aux = {"logdet": float, "nll_refined": float}.
+
+    Rescue schedule: the reference inflates log_sn by log sqrt(10) steps
+    (GP.cpp:431-440) — correct for genuine model-level non-SPD-ness, but
+    brutal at HBM scale where the common failure is the f32 CONDITIONING
+    cliff at sn2 ~ N eps sf2: a fitted noise one rounding flip below the
+    cliff would get x3.16'd repeatedly, measurably destroying a -39k-NLL
+    fit into a +226k noise-only model (round-3 post-mortem).  So the
+    first retries ADD the conditioning floor: sn2 + 2^k * N eps sf2_mean,
+    k = 0.. — reaching SPD within a few doublings while perturbing the
+    model by no more than ~2x the smallest viable jitter; the reference's
+    multiplicative ladder remains as the final fallback for true
+    non-SPD-ness (NaN hyps, degenerate kernels).
     """
     import math
 
-    from ..ops.slabbed import use_slabs
-
+    n = x.shape[0]
     nc = kernel.num_hyp(x.shape[1])
-    chyp = hyp[:nc].astype(x.dtype)
-    log_sn = float(hyp[-2])
+    hyp = jnp.asarray(hyp, x.dtype)
+    chyp = hyp[:nc]
+    log_sn0 = float(hyp[-2])
     eps = float(jnp.finfo(x.dtype).eps)
+    sf2_mean = float(jnp.mean(kernel.diag_k(chyp, x)))
+    floor = n * eps * sf2_mean
 
-    if use_slabs(x.shape[0]):
-        attempt = lambda ls: _set_k_attempt_slabbed(
-            kernel, chyp, jnp.asarray(ls, x.dtype), x)  # noqa: E731
-    else:
-        attempt = lambda ls: _set_k_attempt(
-            kernel, chyp, jnp.asarray(ls, x.dtype), x, tile)
+    sn2_0 = math.exp(2.0 * log_sn0) if math.isfinite(log_sn0) else 0.0
+    candidates = [sn2_0]
+    candidates += [sn2_0 + floor * 2.0 ** k for k in range(8)]
+    sn2_mult = max(sn2_0 + floor * 2.0 ** 7, eps ** 2)
+    candidates += [sn2_mult * 10.0 ** (0.5 * k)
+                   for k in range(1, max_tries - 8)]
 
-    L, ok = attempt(log_sn)
-    tries = 0
-    while not bool(ok) and tries < max_tries:
-        log_sn = (math.log(eps) if math.isinf(log_sn)
-                  else log_sn + 0.5 * math.log(10.0))
-        L = None  # free the failed factor BEFORE the retry program runs
-        L, ok = attempt(log_sn)
-        tries += 1
+    out = None
+    for tries, sn2 in enumerate(candidates):
+        log_sn = 0.5 * math.log(sn2) if sn2 > 0 else -INF
+        h = hyp.at[-2].set(jnp.asarray(log_sn, hyp.dtype))
+        ok, alpha, logdet, nll_ref = _posterior_attempt_streamed(
+            kernel, h, x, y, tile)
+        if bool(ok):
+            out = (h, alpha, logdet, nll_ref)
+            break
+    if out is None:
+        # exhausted: return the last attempt; NaNs propagate to callers'
+        # finite checks (GPBase guards against caching a NaN posterior)
+        out = (h, alpha, logdet, nll_ref)
     if tries:
-        # noise inflation is a MODEL CHANGE (GP.cpp:431-440 mutates _hyps);
-        # at HBM scale it can silently turn a good fit into a noise-only
-        # model, so always say it happened
-        print(f"[gp_tpu] set_k_streamed: noise inflated {tries}x to "
-              f"log_sn={log_sn:.4f} before the factorization succeeded",
+        # noise adjustment is a MODEL CHANGE (GP.cpp:431-440 mutates
+        # _hyps) — always say it happened and by how much
+        print(f"[gp_tpu] set_k_streamed: noise raised from "
+              f"log_sn={log_sn0:.4f} to {float(out[0][-2]):.4f} "
+              f"({tries} rescue attempt(s), conditioning floor "
+              f"{floor:.3e}) before the factorization succeeded",
               file=sys.stderr, flush=True)
-    hyp = hyp.at[-2].set(jnp.asarray(log_sn, hyp.dtype))
-    invKys = _invkys_from_chol(kernel, hyp, L, y)
-    return hyp, (L,), invKys
+    h, alpha, logdet, nll_ref = out
+    aux = {"logdet": float(logdet), "nll_refined": float(nll_ref)}
+    return h, aux, alpha
 
 
 @partial(jax.jit, static_argnames=("kernel", "solver"))
@@ -781,6 +794,77 @@ def predict_s2_with_grad(kernel: KernelSpec, hyp, x, f, xs,
                          solver: SolverSpec = CHOL):
     g = lambda xi: _predict_s2_single(kernel, hyp, x, f, xi, solver)
     return jax.vmap(jax.value_and_grad(g))(xs)
+
+
+# --------------------------------------------------------------------------
+# Stream-regime (factor-as-temp) prediction programs
+# --------------------------------------------------------------------------
+#
+# At HBM scale the posterior factor is never cached (see
+# _posterior_attempt_streamed's docstring: slab factors as program OUTPUTS
+# either OOM or silently corrupt on this runtime), so variance predictions
+# re-factor K inside their own program — the factor lives and dies as a
+# temp, exactly the verified-clean objective shape.  Mean-only predictions
+# need only the cached invKys and stay O(NT).
+
+
+@partial(jax.jit, static_argnames=("kernel", "tile"))
+def predict_streamed(kernel: KernelSpec, hyp, x, invKys, xs,
+                     tile: int = 2048):
+    """(mu, s2) with an in-program factorization (GP.cpp:273-283 math)."""
+    if x.shape[0] % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and x.shape[0] % t == 0:
+                tile = t
+                break
+    from ..ops.chol import chol_solve
+
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    L = _factor_k_noise(kernel, chyp, x, hyp_sn2(hyp), tile)
+    kt = kernel.k(chyp, xs, x)                    # (T, N)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kks = chol_solve(L, kt.T)                     # (N, T)
+    sf2 = kernel.diag_k(chyp, xs)
+    s2 = jnp.maximum(sf2 - jnp.sum(kt * kks.T, axis=1), 0.0) + hyp_sn2(hyp)
+    return mu, s2
+
+
+@partial(jax.jit, static_argnames=("kernel", "tile"))
+def predict_s2_with_grad_streamed(kernel: KernelSpec, hyp, x, xs,
+                                  tile: int = 2048):
+    """(s2, ds2/dx*) with an in-program factorization.
+
+    The solve K^{-1} k* is hoisted OUT of the per-point grad (one program-
+    level chol_solve for all test points); per point, only the O(N d)
+    kernel-row vjp runs — gs2 = diag_dk - 2 dk . (K^{-1} k*), the clamp
+    excluded from the gradient exactly as GP.cpp:294."""
+    if x.shape[0] % tile:
+        for t in (2048, 1024, 512, 256, 128, 64):
+            if t < tile and x.shape[0] % t == 0:
+                tile = t
+                break
+    from ..ops.chol import chol_solve
+
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+    L = _factor_k_noise(kernel, chyp, x, sn2, tile)
+    kt = kernel.k(chyp, xs, x)                    # (T, N)
+    kks = chol_solve(L, kt.T)                     # (N, T)
+    sf2 = kernel.diag_k(chyp, xs)
+    quad = jnp.sum(kt * kks.T, axis=1)
+    s2 = jnp.maximum(sf2 - quad, 0.0) + sn2
+
+    def gs2_one(xi, kks_t):
+        # diag_dk term: zero for stationary kernels but kept for parity
+        # with _predict_s2_single (kernel-generic)
+        ddiag = jax.grad(lambda z: kernel.diag_k(chyp, z[None, :])[0])(xi)
+        _, vjp = jax.vjp(lambda z: kernel.k(chyp, z[None, :], x)[0], xi)
+        return ddiag + vjp(-2.0 * kks_t)[0]
+
+    gs2 = jax.vmap(gs2_one)(xs, kks.T)
+    return s2, gs2
 
 
 # --------------------------------------------------------------------------
@@ -885,55 +969,55 @@ class GP(GPBase):
                    vec0, lb_v, ub_v, max_evals=self._MAX_EVAL,
                    solver=self.solver)
 
+    def _in_stream_regime(self) -> bool:
+        return (self.solver.name == "chol"
+                and self._x.shape[0] >= _STREAM_MIN_N)
+
     def _update_posterior(self):
-        if self.solver.name == "chol" and self._x.shape[0] >= _STREAM_MIN_N:
-            # jitted set_k needs 2 N^2 live buffers (Kcov across the
-            # rescue loop + factor) — OOM at this N; host-loop variant
-            hyp, f, invKys = set_k_streamed(self.kernel, self._hyps,
-                                            self._x, self._y)
+        if self._in_stream_regime():
+            # factor-as-temp posterior: the cache is invKys + scalars
+            # (logdet, refined NLL); the N^2 factor is never materialized
+            # as a program output (see _posterior_attempt_streamed)
+            hyp, aux, invKys = set_k_streamed(self.kernel, self._hyps,
+                                              self._x, self._y)
+            self._post = (invKys,)
+            self._post_aux = aux
         else:
             hyp, f, invKys = set_k(self.kernel, self._hyps, self._x,
                                    self._y, self.solver)
+            self._post = (*f, invKys)
+            self._post_aux = None
         self._hyps = hyp
-        self._post = (*f, invKys)
         self._post_dist = None       # single-device posterior supersedes
 
     def _nll_from_posterior(self):
-        """HBM-stream regime: derive train()'s final NLL from the cached
-        (L, invKys) instead of a second full build+factor — the fresh
-        nll() program next to the live 10.5 GB posterior slabs was a
-        measured RESOURCE_EXHAUSTED at N=51200 f32 on the 16 GB chip.
-
-        The reported value is nll_refined_with_factor off the SAME cached
-        f32 factor: one O(N^2) mixed-precision repair sweep (iterative
-        refinement on alpha + Hutchinson logdet correction) removes the
-        ~1 mnat/pt f32 factorization rounding the raw posterior NLL
-        carries at this N (measured 8.9e-4 rel vs the f64 oracle at
-        N=51200 raw).  Falls back to the raw value (GP.cpp:138-143 math:
-        invKys IS alpha = K^-1 (y - mean) at the post-rescue hyps) if the
-        refinement sweep itself fails (e.g. OOM next to the live cache) —
-        a wrong-precision answer must never lose a 49-minute fit."""
-        if not (self.solver.name == "chol"
-                and self._x.shape[0] >= _STREAM_MIN_N
-                and self._post is not None):
+        """HBM-stream regime: train()'s final NLL comes straight from the
+        posterior-cache program — _posterior_attempt_streamed computed the
+        REFINED NLL (mixed-precision repair of the ~1 mnat/pt f32
+        factorization rounding, measured 8.9e-4 rel at N=51200 raw) while
+        it still held the factor as a temp.  No second build+factor ever
+        runs next to the cache (a fresh nll() program there was a
+        measured RESOURCE_EXHAUSTED at N=51200 f32 on 16 GB).  Falls back
+        to the raw data-fit + cached logdet if the refined value is
+        non-finite."""
+        if not (self._in_stream_regime() and self._post is not None
+                and self._post_aux is not None):
             return None
-        from ..ops.chol import chol_logdet
-        L, invKys = self._post[0], self._post[-1]
-        try:
-            v = float(nll_refined_with_factor(
-                self.kernel, self._hyps, self._x, self._y, L, invKys))
-            if np.isfinite(v):
-                return v
-        except Exception as ex:   # noqa: BLE001 — refined NLL is optional
-            print(f"[gp_tpu] refined-NLL epilogue failed ({ex!r}); "
-                  "reporting the raw f32 posterior NLL", file=sys.stderr)
+        v = self._post_aux.get("nll_refined")
+        if v is not None and np.isfinite(v):
+            return float(v)
+        invKys = self._post[-1]
         r = self._y - jnp.asarray(hyp_mean(self._hyps), self._y.dtype)
         n = self._x.shape[0]
-        v = float(0.5 * jnp.dot(r, invKys) + 0.5 * chol_logdet(L)
+        v = float(0.5 * jnp.dot(r, invKys)
+                  + 0.5 * self._post_aux["logdet"]
                   + 0.5 * n * jnp.log(2 * jnp.pi))
         return v if np.isfinite(v) else INF
 
     def _factors(self):
+        assert not self._in_stream_regime(), (
+            "stream-regime posteriors cache no factor; predictions go "
+            "through the factor-as-temp programs")
         return tuple(self._post[:-1])
 
     # -- distributed training / serving (parallel/pgp.py) -------------------
@@ -1024,6 +1108,10 @@ class GP(GPBase):
                                   invKys, self._as_batch(xs), mesh,
                                   block=block)
             return np.asarray(mu), np.asarray(s2)
+        if self._in_stream_regime():
+            mu, s2 = predict_streamed(self.kernel, self._hyps, self._x,
+                                      self._post[-1], self._as_batch(xs))
+            return np.asarray(mu), np.asarray(s2)
         mu, s2 = predict(self.kernel, self._hyps, self._x, self._factors(),
                          self._post[-1], self._as_batch(xs), self.solver)
         return np.asarray(mu), np.asarray(s2)
@@ -1040,6 +1128,8 @@ class GP(GPBase):
     def batch_predict_s2(self, xs):
         self._require_trained()
         if getattr(self, "_post_dist", None) is not None:
+            return self.batch_predict(xs)[1]
+        if self._in_stream_regime():
             return self.batch_predict(xs)[1]
         return np.asarray(predict_s2(self.kernel, self._hyps, self._x,
                                      self._factors(), self._as_batch(xs),
@@ -1066,6 +1156,10 @@ class GP(GPBase):
             _, _, s2, gs2 = pgp.ppredict_with_grad(
                 self.kernel, self._hyps, self._x, L, invKys,
                 self._as_batch(xs), mesh, block=block)
+            return np.asarray(s2), np.asarray(gs2)
+        if self._in_stream_regime():
+            s2, gs2 = predict_s2_with_grad_streamed(
+                self.kernel, self._hyps, self._x, self._as_batch(xs))
             return np.asarray(s2), np.asarray(gs2)
         s2, gs2 = predict_s2_with_grad(self.kernel, self._hyps, self._x,
                                        self._factors(), self._as_batch(xs),

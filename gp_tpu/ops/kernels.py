@@ -38,6 +38,32 @@ class KernelSpec(NamedTuple):
     # family).  Used by the internal y-standardization reparameterization:
     # scaling y by 1/s shifts this hyp and log sigma_n by -log s.
     out_scale_idx: int = -1
+    # (chyp, sn2, x, n_real) -> (n, n): K(X, X) with the diagonal set to
+    # diag_k + sn2 on rows < n_real and to diag_k on rows >= n_real (the
+    # far-pad decoys).  Differentiable in (chyp, sn2).  The default builds
+    # K then scatters the diagonal; the Pallas SE variants override with a
+    # single-pass fused build (any post-hoc diagonal op on an opaque
+    # custom-call output costs a full N^2 pass — measured 2.3 ms at
+    # N=8192 f32, ~9% of the whole objective).
+    k_noise: Callable | None = None
+
+
+def _generic_k_noise(spec_k, spec_diag_k):
+    def k_noise(chyp, sn2, x, n_real: int):
+        K0 = spec_k(chyp, x, x)
+        ids = jnp.arange(x.shape[0])
+        dv = jnp.where(ids < n_real, jnp.diagonal(K0) + sn2,
+                       spec_diag_k(chyp, x))
+        return K0.at[ids, ids].set(dv.astype(K0.dtype))
+    return k_noise
+
+
+def get_k_noise(spec: "KernelSpec") -> Callable:
+    """spec.k_noise, or the generic build+scatter for kernels that did not
+    register a fused variant (e.g. ops/kernels_extra.py)."""
+    if spec.k_noise is not None:
+        return spec.k_noise
+    return _generic_k_noise(spec.k, spec.diag_k)
 
 
 # --------------------------------------------------------------------------
@@ -105,6 +131,7 @@ SE_ARD = KernelSpec(
     diag_k=_seard_diag_k,
     default_hyp=_seard_default_hyp,
     hyp_range=_seard_hyp_range,
+    k_noise=_generic_k_noise(_seard_k, _seard_diag_k),
 )
 
 
@@ -153,6 +180,7 @@ SE_ISO = KernelSpec(
     diag_k=_seiso_diag_k,
     default_hyp=_seiso_default_hyp,
     hyp_range=_seiso_hyp_range,
+    k_noise=_generic_k_noise(_seiso_k, _seiso_diag_k),
 )
 
 
@@ -171,11 +199,14 @@ def _register_pallas_variants():
     formula, so the default is safe everywhere (and vmap-safe for the
     per-point gradient APIs)."""
     global SE_ARD, SE_ISO
-    from .pallas_kernels import seard_k_pallas, seiso_k_pallas
+    from .pallas_kernels import (seard_k_noise_pallas, seard_k_pallas,
+                                 seiso_k_noise_pallas, seiso_k_pallas)
     KERNELS["se_ard_xla"] = SE_ARD._replace(name="se_ard_xla")
     KERNELS["se_iso_xla"] = SE_ISO._replace(name="se_iso_xla")
-    SE_ARD = SE_ARD._replace(k=seard_k_pallas)
-    SE_ISO = SE_ISO._replace(k=seiso_k_pallas)
+    SE_ARD = SE_ARD._replace(k=seard_k_pallas,
+                             k_noise=seard_k_noise_pallas)
+    SE_ISO = SE_ISO._replace(k=seiso_k_pallas,
+                             k_noise=seiso_k_noise_pallas)
     KERNELS["se_ard"] = SE_ARD
     KERNELS["se_iso"] = SE_ISO
     KERNELS["se_ard_pallas"] = SE_ARD._replace(name="se_ard_pallas")

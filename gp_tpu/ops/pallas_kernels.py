@@ -61,6 +61,38 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
     out_ref[:] = (sf2_ref[0, 0] * jnp.exp(-0.5 * sq)).astype(out_ref.dtype)
 
 
+def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref):
+    """Symmetric-build tile with the diagonal OVERWRITTEN in-VMEM.
+
+    Any post-hoc diagonal fix on the assembled K costs a full N^2
+    read+write pass: the Pallas custom-call is opaque to XLA fusion, so
+    even an O(N) `.at[i, i]` scatter materializes as a whole-buffer
+    kCustom op plus layout repairs (measured 2.3 ms at N=8192 f32 — ~9%
+    of the entire NLL+gradient objective).  Writing dvals on the i == j
+    tiles here makes the diagonal exact (sf2 [+ sn2]) at zero extra HBM
+    traffic, and also removes the quadratic-expansion rounding the plain
+    kernel leaves on the diagonal.
+    """
+    a = x1_ref[:]
+    b = x2_ref[:]
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True).T
+    sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
+    tile = sf2_ref[0, 0] * jnp.exp(-0.5 * sq)
+    tm, tn = tile.shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    on_diag = jnp.logical_and(row == col, i == j)
+    tile = jnp.where(on_diag, dvals_ref[0, :][None, :], tile)
+    out_ref[:] = tile.astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
 def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
     m, dp = x1s.shape
@@ -90,6 +122,54 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(x1s, x2s, sf2)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "interpret"))
+def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool):
+    m, dp = xs.shape
+    import contextlib
+    ctx = (contextlib.nullcontext() if interpret
+           else jax.enable_x64(False))
+    with ctx:
+        return pl.pallas_call(
+            _se_tile_kernel_diag,
+            out_shape=jax.ShapeDtypeStruct((m, m), xs.dtype),
+            grid=(m // t, m // t),
+            in_specs=[
+                pl.BlockSpec((t, dp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, dp), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, t), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xs, xs, sf2, dvals)
+
+
+def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None):
+    """Symmetric K(X, X) with diag OVERWRITTEN by dvals, fused single-pass.
+
+    Rows are padded to the tile size (padded dvals = 1, harmless: the pad
+    block is sliced off).  See _se_tile_kernel_diag for why this exists.
+    """
+    x = jnp.asarray(x)
+    n, d = x.shape
+    dtype = x.dtype
+    t = min(tile, _round_up(n, 128))
+    np_, dp = _round_up(n, t), _round_up(d, 128)
+    inv_l = jnp.asarray(inv_l, dtype)
+    xs = jnp.zeros((np_, dp), dtype).at[:n, :d].set(x * inv_l)
+    dv = jnp.ones((1, np_), dtype).at[0, :n].set(jnp.asarray(dvals, dtype))
+    if interpret is None:
+        interpret = not _on_tpu()
+    K = _se_matrix_diag_padded(xs, jnp.asarray(sf2, dtype).reshape(1, 1),
+                               dv, t, interpret)
+    return K[:n, :n]
 
 
 def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
@@ -192,3 +272,85 @@ def _seiso_bwd(res, G):
 
 
 seiso_k_pallas.defvjp(_seiso_fwd, _seiso_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused symmetric noise builds: K(X, X) with diag = sf2 + sn2 (real rows)
+# or sf2 (decoy rows >= n_real), one kernel pass (KernelSpec `k_noise`)
+# --------------------------------------------------------------------------
+#
+# COTANGENT CONTRACT: when n_real < n (far-pad decoys), the cotangent G
+# passed to the backward MUST be zero on the decoy diagonal — the callers
+# (models/exact._nll_vg_far_padded) already build Q that way, which also
+# keeps the backward's quadratic-expansion terms exactly zero at decoy
+# magnitudes (rs rows vanish).  The only correction the noise diagonal
+# needs is on g_logsf: E = G o K picks up sn2 G_ii on the real diagonal
+# where the pure-kernel E would have sf2 G_ii — the (a-b)^2 and dx terms
+# are self-cancelling on the diagonal (a == b).
+
+
+def _se_noise_forward(inv_l, sf2, sn2, x, n_real: int):
+    n = x.shape[0]
+    dvals = jnp.where(jnp.arange(n) < n_real, sf2 + sn2, sf2)
+    if n < _MIN_ROWS or not _on_tpu():
+        K0 = sf2 * jnp.exp(-0.5 * sqdist(x * inv_l, x * inv_l))
+        ids = jnp.arange(n)
+        return K0.at[ids, ids].set(dvals.astype(K0.dtype))
+    return se_matrix_diag(inv_l, sf2, x, dvals)
+
+
+def _se_noise_bwd_terms(K, G, inv_l, sn2, x, n_real: int):
+    per_dim, g_logsf, dx1, dx2 = _se_bwd_terms(K, G, inv_l, x, x)
+    tr_r = jnp.sum(jnp.diagonal(G)[:n_real])
+    g_logsf = g_logsf - 2.0 * sn2 * tr_r
+    return per_dim, g_logsf, tr_r, dx1 + dx2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def seard_k_noise_pallas(chyp, sn2, x, n_real: int):
+    """K(X,X) + sn2 I (real rows; decoy diag = sf2), SE-ARD, fused."""
+    d = x.shape[-1]
+    return _se_noise_forward(jnp.exp(-chyp[:d]), jnp.exp(2.0 * chyp[d]),
+                             sn2, x, n_real)
+
+
+def _seard_noise_fwd(chyp, sn2, x, n_real):
+    K = seard_k_noise_pallas(chyp, sn2, x, n_real)
+    return K, (K, chyp, sn2, x)
+
+
+def _seard_noise_bwd(n_real, res, G):
+    K, chyp, sn2, x = res
+    d = x.shape[-1]
+    inv_l = jnp.exp(-chyp[:d])
+    per_dim, g_logsf, tr_r, dx = _se_noise_bwd_terms(K, G, inv_l, sn2, x,
+                                                     n_real)
+    g_chyp = jnp.concatenate([per_dim, g_logsf[None]]).astype(chyp.dtype)
+    return g_chyp, tr_r.astype(chyp.dtype), dx.astype(x.dtype)
+
+
+seard_k_noise_pallas.defvjp(_seard_noise_fwd, _seard_noise_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def seiso_k_noise_pallas(chyp, sn2, x, n_real: int):
+    """K(X,X) + sn2 I (real rows; decoy diag = sf2), SE-iso, fused."""
+    return _se_noise_forward(jnp.exp(-chyp[0]), jnp.exp(2.0 * chyp[1]),
+                             sn2, x, n_real)
+
+
+def _seiso_noise_fwd(chyp, sn2, x, n_real):
+    K = seiso_k_noise_pallas(chyp, sn2, x, n_real)
+    return K, (K, chyp, sn2, x)
+
+
+def _seiso_noise_bwd(n_real, res, G):
+    K, chyp, sn2, x = res
+    inv_l = jnp.exp(-chyp[0])
+    per_dim, g_logsf, tr_r, dx = _se_noise_bwd_terms(K, G, inv_l, sn2, x,
+                                                     n_real)
+    g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf]).astype(chyp.dtype)
+    return g_chyp, tr_r.astype(chyp.dtype), dx.astype(x.dtype)
+
+
+seiso_k_noise_pallas.defvjp(_seiso_noise_fwd, _seiso_noise_bwd)

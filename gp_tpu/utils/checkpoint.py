@@ -84,6 +84,12 @@ def save_model(model, path: str) -> None:
         meta["num_post"] = len(model._post)
         if slab_counts:
             meta["post_slabs"] = slab_counts
+    if getattr(model, "_post_aux", None) is not None:
+        # stream-regime scalar cache (logdet, refined NLL) — the factor
+        # itself is never cached at that scale (models/exact.py:
+        # _posterior_attempt_streamed); variance predictions refactor
+        # in-program after a restore, mean predictions use invKys
+        meta["post_aux"] = model._post_aux
     arrays["key"] = np.asarray(model._key)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -130,6 +136,7 @@ def load_model(path: str):
                     post.append(jnp.asarray(z[f"post_{i}"], dt))
             model._post = tuple(post)
             model._trained = True
+        model._post_aux = meta.get("post_aux")
         if meta["trained"] and "dist_n_dev" in meta:
             model._post_dist_pending = (
                 meta["dist_n_dev"], meta["dist_block"],

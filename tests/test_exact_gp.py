@@ -291,9 +291,12 @@ def test_seed_determinism(toy_problem):
 
 
 def test_set_k_streamed_matches_set_k():
-    """set_k_streamed (host-loop rescue, ~1x N^2 peak for HBM-bound N)
-    reproduces set_k exactly, including the noise-inflation schedule
-    (GP.cpp:431-440) on a singular Kcov."""
+    """set_k_streamed (factor-as-temp posterior for HBM-bound N) matches
+    set_k when no rescue fires; when the factorization fails it must reach
+    an SPD posterior at NO MORE noise than set_k's x-sqrt(10) ladder
+    (GP.cpp:431-440) — the additive conditioning-floor schedule is the
+    deliberately gentler replacement (round-3 post-mortem: the ladder
+    destroyed a -39k-NLL N=51200 fit into a +226k noise-only model)."""
     rng = np.random.default_rng(1)
     n, d = 96, 4
     X = np.repeat(rng.standard_normal((n // 2, d)), 2, axis=0)  # singular
@@ -301,13 +304,29 @@ def test_set_k_streamed_matches_set_k():
     from gp_tpu.models.base import default_hyps
     hyp = jnp.asarray(default_hyps(SE_ARD, X, y, 1e-3, False))
     Xj, yj = jnp.asarray(X), jnp.asarray(y)
-    for h in (hyp, hyp.at[-1 - 1].set(jnp.log(1e-12))):  # default / forced rescue
-        h0, f0, iv0 = exact.set_k(SE_ARD, h, Xj, yj)
-        h1, f1, iv1 = exact.set_k_streamed(SE_ARD, h, Xj, yj, tile=32)
-        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
-                                   rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(iv0), np.asarray(iv1),
-                                   rtol=1e-6)
+
+    # no-rescue case: exact agreement (same hyps; the refined invKys is
+    # strictly more accurate, so compare against a direct dense solve)
+    h0, f0, iv0 = exact.set_k(SE_ARD, hyp, Xj, yj)
+    h1, aux, iv1 = exact.set_k_streamed(SE_ARD, hyp, Xj, yj, tile=32)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(iv0), np.asarray(iv1), rtol=1e-6)
+    assert np.isfinite(aux["logdet"]) and np.isfinite(aux["nll_refined"])
+    np.testing.assert_allclose(
+        aux["nll_refined"], float(exact.nll(SE_ARD, h1, Xj, yj)), rtol=1e-9)
+
+    # forced rescue on the singular Kcov: SPD reached within the additive
+    # conditioning-floor envelope (sn2 <= sn2_0 + 2^7 floor), never the
+    # ladder's unbounded x-sqrt(10) overshoot
+    h_bad = hyp.at[-2].set(jnp.log(1e-12))
+    h1, aux, iv1 = exact.set_k_streamed(SE_ARD, h_bad, Xj, yj, tile=32)
+    assert np.all(np.isfinite(np.asarray(iv1)))
+    assert np.isfinite(aux["nll_refined"])
+    sf2_mean = float(np.exp(2 * float(hyp[-3])))
+    floor = n * float(jnp.finfo(Xj.dtype).eps) * sf2_mean
+    assert float(jnp.exp(2 * h1[-2])) <= 1e-24 + 2.0 ** 7 * floor
+    np.testing.assert_allclose(np.asarray(h_bad[:-2]), np.asarray(h1[:-2]),
+                               rtol=1e-12)
 
 
 def test_train_chunked_stream_path_matches_default(toy_problem, monkeypatch):

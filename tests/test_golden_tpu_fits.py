@@ -64,3 +64,37 @@ def test_tpu_fit_n16384_record():
     rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n16384.json")))
     X, y = make_data(16384, 10, seed=rec.get("seed", 42))
     _check_record(rec, X, y)
+
+
+def test_tpu_fit_n51200_warm_record_quality():
+    """Fast (no-oracle) pins on the BASELINE N=50k warm-start record:
+    the fixed pipeline (round 3: conditioning-floor set_k rescue +
+    factor-as-temp posterior + refined NLL) must show a DATA-FIT-basin
+    model — held-out RMSE at the generator's noise floor (0.1), final
+    NLL strongly negative, noise within one rescue step of the
+    optimizer's fitted value — and must strictly beat the cold record."""
+    rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n51200_warm.json")))
+    n = 51200
+    assert rec["heldout_rmse"] < 0.15          # noise floor is 0.1
+    assert rec["final_nll"] / n < -0.6         # data-fit basin
+    assert rec["opt_f"] / n < -0.7             # optimizer endpoint
+    # refined-NLL-vs-optimizer gap is only the one-step noise rescue
+    assert rec["final_nll"] <= rec["opt_f"] + 0.1 * n
+    cold = json.load(open(os.path.join(GOLDEN, "tpu_fit_n51200.json")))
+    assert rec["final_nll"] < cold["final_nll"]
+    assert rec["heldout_rmse"] < cold["heldout_rmse"]
+
+
+@pytest.mark.skipif(not os.environ.get("GP_TPU_SLOW_TESTS"),
+                    reason="N=51200 f64 oracle evaluation (~18 min CPU)")
+def test_tpu_fit_n51200_warm_record_oracle():
+    """Full oracle pin (the BASELINE 'NLL within 1e-4 at N=50k' target):
+    library-f64 == recorded oracle-f64 at the recorded hyps, and the
+    chip's REFINED final NLL within 1e-4 nats/point of the oracle."""
+    import sys
+    sys.path.insert(0, os.path.dirname(GOLDEN))
+    from synth import make_data
+    rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n51200_warm.json")))
+    assert "oracle_f64_nll" in rec, "run ref_equiv.py eval-at-synth first"
+    X, y = make_data(51200, 10, seed=rec.get("seed", 42))
+    _check_record(rec, X, y)

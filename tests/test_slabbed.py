@@ -222,7 +222,13 @@ def test_gp_end_to_end_slab_path(monkeypatch):
 
 
 def test_slab_posterior_checkpoint_roundtrip(monkeypatch, tmp_path):
-    """save/load of a model whose cached factor is a slab tuple."""
+    """save/load of a stream-regime (factor-as-temp) posterior.
+
+    The cache is invKys + the scalar aux (logdet, refined NLL) — the slab
+    factor is deliberately NOT serialized (it is never materialized as a
+    program output on XLA:TPU; exact._posterior_attempt_streamed) —
+    and variance predictions refactor inside their own program after the
+    restore."""
     rng = np.random.default_rng(7)
     n, d = 80, 2
     X = rng.standard_normal((n, d))
@@ -231,15 +237,63 @@ def test_slab_posterior_checkpoint_roundtrip(monkeypatch, tmp_path):
     monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
     from gp_tpu import GP
     gp = GP(X, y)
-    gp.train()
-    assert isinstance(gp._post[0], tuple)   # the slab path was exercised
+    nll = gp.train()
+    assert len(gp._post) == 1               # invKys only: no cached factor
+    assert gp._post_aux is not None
+    assert np.isfinite(gp._post_aux["logdet"])
+    # train() reports the refined NLL computed inside the cache program
+    np.testing.assert_allclose(nll, gp._post_aux["nll_refined"], rtol=1e-12)
     Xs = rng.standard_normal((5, d))
     mu_ref, s2_ref = gp.batch_predict(Xs)
     path = str(tmp_path / "slab_ckpt.npz")
     gp.save(path)
     gp2 = GP.load(path)
+    assert gp2._post_aux is not None
     mu, s2 = gp2.batch_predict(Xs)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
                                rtol=1e-12)
+
+
+def test_set_k_streamed_rescue_lands_near_cliff(monkeypatch):
+    """The rescue schedule must land within ~2x of the smallest viable
+    noise, not x3.16^k past it (round-3 post-mortem: the multiplicative
+    ladder turned a -39k-NLL fit into a +226k noise-only model when the
+    fitted noise sat one rounding flip below the f32 conditioning cliff).
+
+    A fake attempt program refuses any sn2 below a synthetic cliff; the
+    schedule should cross it via additive conditioning-floor doublings."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    n, d = 64, 2
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    from gp_tpu import SE_ARD
+    from gp_tpu.models.base import default_hyps
+    hyp = np.asarray(default_hyps(SE_ARD, np.asarray(X), np.asarray(y),
+                                  1e-3, False))
+    sf2_mean = float(np.exp(2 * hyp[-3]))
+    eps = float(jnp.finfo(X.dtype).eps)
+    floor = n * eps * sf2_mean
+    cliff = np.exp(2 * hyp[-2]) + 3.3 * floor    # just above fitted + floor
+
+    calls = []
+
+    def fake_attempt(kernel, h, x, yy, tile=2048, probes=16, seed=0):
+        sn2 = float(np.exp(2 * float(h[-2])))
+        calls.append(sn2)
+        ok = sn2 >= cliff
+        return (jnp.asarray(ok), jnp.zeros(n, x.dtype),
+                jnp.asarray(1.0, jnp.float64), jnp.asarray(2.0, jnp.float64))
+
+    monkeypatch.setattr(exact, "_posterior_attempt_streamed", fake_attempt)
+    h2, aux, invKys = exact.set_k_streamed(SE_ARD, jnp.asarray(hyp), X, y)
+    sn2_final = float(np.exp(2 * float(h2[-2])))
+    assert sn2_final >= cliff                      # SPD reached
+    assert sn2_final <= cliff + 4.0 * floor        # ...without overshooting
+    assert aux == {"logdet": 1.0, "nll_refined": 2.0}
+    # the schedule tried the fitted noise first, then additive doublings
+    assert calls[0] == pytest.approx(np.exp(2 * hyp[-2]))
+    assert calls[1] == pytest.approx(calls[0] + floor, rel=1e-6)
