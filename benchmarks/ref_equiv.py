@@ -435,6 +435,34 @@ def eval_at_synth(hyp_path):
     return out
 
 
+def eval_at_synth_sparse(hyp_path, noise_lb=1e-3):
+    """f64 oracle NLL for a FITC/VFE fit record on the SYNTHETIC data
+    (benchmarks/synth.py; n/m/d/seed from the record's metric string;
+    inducing = last m training rows, the record's convention)."""
+    from synth import make_data
+
+    rec = json.load(open(hyp_path))
+    parts = rec["metric"].split("_")
+    model = parts[1]                       # tpu_{fitc|vfe}_fit_...
+    n = int(rec["metric"].split("_n")[-1].split("_")[0])
+    m = int(rec["metric"].split("_m")[-1].split("_")[0])
+    d = int(rec["metric"].split("_d")[-1].split("_")[0])
+    X, y = make_data(n, d, seed=rec.get("seed", 42))
+    U = X[-m:]
+    t0 = time.perf_counter()
+    nll, _ = sparse_nll_and_grad(model, np.asarray(rec["hyp"], np.float64),
+                                 X, y, U, (0.1 * noise_lb) ** 2)
+    out = {"metric": f"cpu_ref_equiv_{model}_nll_at_hyp_n{n}_m{m}",
+           "value": float(nll), "unit": "nll",
+           "tpu_final_nll": rec.get("final_nll"),
+           "oracle_wall_s": round(time.perf_counter() - t0, 1)}
+    if rec.get("final_nll") is not None:
+        out["rel_diff"] = (abs(float(nll) - rec["final_nll"])
+                           / max(abs(rec["final_nll"]), 1.0))
+    print(json.dumps(out))
+    return out
+
+
 def eval_at(model, hyp_path, n=8000, m=512, noise_lb=1e-3):
     """One oracle NLL evaluation at externally-fitted hyps (full-fit parity
     pinning: run the TPU CLI, then this at its optimum)."""
@@ -466,6 +494,8 @@ if __name__ == "__main__":
                      int(sys.argv[3]) if len(sys.argv) > 3 else 512)
     elif cmd == "eval-at-synth":
         eval_at_synth(sys.argv[2])
+    elif cmd == "eval-at-synth-sparse":
+        eval_at_synth_sparse(sys.argv[2])
     elif cmd == "eval-at":
         # ref_equiv.py eval-at <gp|fitc|vfe> <hyp_json> [n [m]]
         eval_at(sys.argv[2], sys.argv[3],

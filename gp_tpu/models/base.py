@@ -376,8 +376,14 @@ class GPBase:
     def _multistart_objective(self) -> Callable:
         raise NotImplementedError
 
+    def _warm_start_hyps(self):
+        """Optional model-specific recovery start tried before the noise
+        rescue when the initial probe is INF (None = skip)."""
+        return None
+
     def train(self, init_hyps=None) -> float:
         """MLE fit; returns the final NLL (GP::train contract)."""
+        used_defaults = init_hyps is None
         if init_hyps is None:
             init_hyps = self.get_default_hyps()
         hyps = np.array(np.asarray(init_hyps), np.float64)
@@ -397,6 +403,22 @@ class GPBase:
                       f"[GP_TPU_DEBUG]   numeric ={fd}", file=sys.stderr)
 
         nlz = self.nll(hyps)
+        if not np.isfinite(nlz) or used_defaults:
+            # model-specific warm start (GP: the subset MLE at HBM scale),
+            # consulted when the probe is INF — the noise-inflation rescue
+            # below keeps the start's length scales but parks the noise at
+            # the f32 conditioning cliff — AND when the caller entered
+            # with plain defaults: the default start is a measured local
+            # trap at large N (N=51200 round 3: optimizer stalls at
+            # -0.26 nats/pt from defaults vs -0.76 from the subset start;
+            # held-out RMSE 0.665 noise-basin cold in round 2 vs 0.105).
+            # The better-probing start wins; an explicit user init is
+            # never overridden while finite.
+            warm = self._warm_start_hyps()
+            if warm is not None:
+                v = self.nll(warm)
+                if np.isfinite(v) and (not np.isfinite(nlz) or v < nlz):
+                    hyps, nlz = np.asarray(warm, np.float64), v
         if not np.isfinite(nlz) and not self._noise_free:
             # START-POINT noise rescue: inflate log_sn by log sqrt(10)
             # steps (the _setK recovery schedule, GP.cpp:431-440) before

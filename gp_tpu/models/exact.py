@@ -925,38 +925,29 @@ class GP(GPBase):
             hyp[-2] = max(float(hyp[-2]), floor)
         return hyp
 
-    def select_init_hyp(self, max_eval: int, def_hyp) -> np.ndarray:
-        """Start-point recovery (GP::select_init_hyp, GP.cpp:463-485).
+    def _warm_start_hyps(self):
+        """Stream-regime INF-start recovery: the subset MLE, BEFORE the
+        noise-inflation rescue (train pipeline, models/base.py).
 
-        HBM-scale upgrade: at stream-regime N the reference's global
-        random search is the WRONG tool — each probe costs a full O(N^3)
-        factorization (~6 s at N=51200: the num_hyp*50 budget alone is
-        ~an hour) and, measured at N=51200, the 160-eval local fit that
-        follows a random start stalls in the noise-dominated basin
-        (final NLL +1.04 nats/pt, held-out RMSE 0.665 vs 0.105 from a
-        subset start — barely better than the constant predictor).  A
-        subset MLE (O(m^3), ~2 min on the chip) lands in the data-fit
-        basin first; the MVMO search remains the fallback when even the
-        subset start probes INF."""
-        if self._in_stream_regime():
-            m = min(8192, self.num_train // 2)
-            hyp = self.subset_init_hyps(m=m)
-            v = self.nll(hyp)
-            if np.isfinite(v):
-                print("[gp_tpu] select_init_hyp: subset-MLE warm start "
-                      f"(m=8192) probed finite (nll={v:.2f}); skipping "
-                      "the random global search", file=sys.stderr,
-                      flush=True)
-                return np.asarray(hyp, np.float64)
-            # the conditioning-floor rescue the clamp may have missed
-            trial = np.array(hyp, np.float64)
-            eps = float(jnp.finfo(self._dtype).eps)
-            for _ in range(4):
-                trial[-2] = (np.log(eps) if np.isinf(trial[-2])
-                             else trial[-2] + 0.5 * np.log(10.0))
-                if np.isfinite(self.nll(trial)):
-                    return trial
-        return super().select_init_hyp(max_eval, def_hyp)
+        At HBM-scale N the alternatives are both measurably bad
+        (N=51200, round 3): the noise rescue keeps the default length
+        scales but parks the noise at the f32 conditioning cliff, and
+        the reference's random global search costs a full O(N^3)
+        factorization per probe (~6 s each; the num_hyp*50 budget alone
+        is ~an hour) — the 160-eval fit from either start stalls in the
+        noise basin (held-out RMSE 0.665) where the O(m^3) subset start
+        reaches the data-fit basin (RMSE 0.105).  MVMO remains the
+        fallback if even this start probes INF."""
+        if not self._in_stream_regime():
+            return None
+        m = min(8192, self.num_train // 2)
+        if m < 8:
+            return None               # nothing meaningful to sub-fit
+        hyp = self.subset_init_hyps(m=m)
+        print(f"[gp_tpu] train: INF start at HBM scale — subset-MLE "
+              f"warm start (m={m}), log_sn={float(hyp[-2]):.4f}",
+              file=sys.stderr, flush=True)
+        return hyp
 
     def _nll_value(self, hyp):
         return nll(self.kernel, hyp, self._x, self._y, self.solver)

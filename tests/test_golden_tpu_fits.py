@@ -66,23 +66,25 @@ def test_tpu_fit_n16384_record():
     _check_record(rec, X, y)
 
 
-def test_tpu_fit_n51200_warm_record_quality():
-    """Fast (no-oracle) pins on the BASELINE N=50k warm-start record:
-    the fixed pipeline (round 3: conditioning-floor set_k rescue +
-    factor-as-temp posterior + refined NLL) must show a DATA-FIT-basin
-    model — held-out RMSE at the generator's noise floor (0.1), final
-    NLL strongly negative, noise within one rescue step of the
-    optimizer's fitted value — and must strictly beat the cold record."""
-    rec = json.load(open(os.path.join(GOLDEN, "tpu_fit_n51200_warm.json")))
+def test_tpu_fit_n51200_records_quality():
+    """Fast (no-oracle) pins on BOTH BASELINE N=50k records: the fixed
+    pipeline (round 3: conditioning-floor set_k rescue + factor-as-temp
+    posterior + refined NLL + auto subset warm start on the default
+    train() entry) must show DATA-FIT-basin models — held-out RMSE at
+    the generator's noise floor (0.1), final NLL strongly negative,
+    refined NLL within one rescue step of the optimizer endpoint.  The
+    'cold' record is the default train() entry (no caller-provided warm
+    start): since round 3 it reaches the same basin as the explicit
+    warm-start record (round 2's cold fit sat in the noise basin at
+    RMSE 0.665 = barely better than the 0.875 constant predictor)."""
     n = 51200
-    assert rec["heldout_rmse"] < 0.15          # noise floor is 0.1
-    assert rec["final_nll"] / n < -0.6         # data-fit basin
-    assert rec["opt_f"] / n < -0.7             # optimizer endpoint
-    # refined-NLL-vs-optimizer gap is only the one-step noise rescue
-    assert rec["final_nll"] <= rec["opt_f"] + 0.1 * n
-    cold = json.load(open(os.path.join(GOLDEN, "tpu_fit_n51200.json")))
-    assert rec["final_nll"] < cold["final_nll"]
-    assert rec["heldout_rmse"] < cold["heldout_rmse"]
+    for fname in ("tpu_fit_n51200_warm.json", "tpu_fit_n51200.json"):
+        rec = json.load(open(os.path.join(GOLDEN, fname)))
+        assert rec["heldout_rmse"] < 0.15, fname   # noise floor is 0.1
+        assert rec["final_nll"] / n < -0.6, fname  # data-fit basin
+        assert rec["opt_f"] / n < -0.7, fname      # optimizer endpoint
+        # refined-NLL-vs-optimizer gap is only the noise rescue
+        assert rec["final_nll"] <= rec["opt_f"] + 0.1 * n, fname
 
 
 @pytest.mark.skipif(not os.environ.get("GP_TPU_SLOW_TESTS"),

@@ -323,7 +323,9 @@ def test_stream_cold_start_uses_subset_warm(monkeypatch):
         return orig(m=m, seed=seed)
 
     monkeypatch.setattr(gp, "subset_init_hyps", spy)
-    monkeypatch.setattr(type(gp), "_in_stream_regime", lambda self: True)
+    # instance-level: the subset sub-model must NOT inherit the forced
+    # stream regime (it would recurse into its own warm start)
+    monkeypatch.setattr(gp, "_in_stream_regime", lambda: True)
     # force an INF probe: absurd tiny-noise start (singular in f64 it is
     # not — so fake the INF by starting from a NaN-poisoned hyp instead)
     bad = gp.get_default_hyps()
