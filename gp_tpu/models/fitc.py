@@ -248,9 +248,11 @@ class FITC(SparseGPBase):
             self._obj_fun = fun
         return fun
     def _run_local_opt(self, vec0, lb_v, ub_v):
-        return fit(self.kernel, self._noise_free, self._x, self._ys, self._u,
-                   jnp.asarray(self._jitter_std, self._dtype),
-                   vec0, lb_v, ub_v, max_evals=self._MAX_EVAL)
+        return self._run_local_opt_guarded(
+            lambda: fit(self.kernel, self._noise_free, self._x, self._ys,
+                        self._u, jnp.asarray(self._jitter_std, self._dtype),
+                        vec0, lb_v, ub_v, max_evals=self._MAX_EVAL),
+            vec0, lb_v, ub_v)
 
     def _update_posterior(self):
         Luu, LA, alpha, jitter, ok = set_k(

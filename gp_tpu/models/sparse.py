@@ -69,6 +69,24 @@ class SparseGPBase(GPBase):
         """FITC::_init (FITC.cpp:27-31): jitter re-derived at train start."""
         self._jitter_u = (0.1 * self._noise_lb) ** 2
 
+    def _use_hosted_opt(self) -> bool:
+        """Route the fit through the host-driven optimizer when the
+        monolithic jitted 130/150-eval program would breach the remote
+        runtime's ~60-100 s execution watchdog (the same wall the exact
+        model hits at stream-scale N; measured here: the N=102400 M=512
+        FITC fit CRASHED the TPU worker mid-train).  One f64 sparse eval
+        is ~150 ms at N*M^2 = 2.1e9 (N=8000, M=512), so past ~2^32 work
+        units the 130-eval program exceeds ~40 s and the fit must run
+        one device program per evaluation instead."""
+        return self.num_train * self.num_inducing ** 2 > 2 ** 32
+
+    def _run_local_opt_guarded(self, fit_fn, vec0, lb_v, ub_v):
+        if self._use_hosted_opt():
+            from ..optim.lbfgsb import lbfgsb_hosted
+            return lbfgsb_hosted(self._objective_closure(), vec0, lb_v,
+                                 ub_v, max_evals=self._MAX_EVAL)
+        return fit_fn()
+
     def train(self, init_hyps=None) -> float:
         if self._noise_free:
             warnings.warn(f"{type(self).__name__} can't be noise free; "

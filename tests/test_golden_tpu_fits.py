@@ -100,3 +100,29 @@ def test_tpu_fit_n51200_warm_record_oracle():
     assert "oracle_f64_nll" in rec, "run ref_equiv.py eval-at-synth first"
     X, y = make_data(51200, 10, seed=rec.get("seed", 42))
     _check_record(rec, X, y)
+
+
+def test_tpu_fitc_n102400_record():
+    """The BASELINE sparse config (N=100k+, M=512) fitted end-to-end on
+    one chip (317 s incl. compile) and pinned against the independent
+    NumPy-f64 oracle at the recorded optimum: the fast re-evaluation here
+    uses the library's own f64 sparse NLL (same algebra as the oracle,
+    ~seconds at O(N M^2))."""
+    import sys
+    sys.path.insert(0, os.path.dirname(GOLDEN))
+    from synth import make_data
+
+    import jax.numpy as jnp
+    from gp_tpu.models import fitc as fitc_mod
+
+    rec = json.load(open(os.path.join(GOLDEN, "tpu_fitc_n102400_m512.json")))
+    n, m = 102400, 512
+    X, y = make_data(n, 10, seed=rec.get("seed", 42))
+    hyp = jnp.asarray(rec["hyp"], jnp.float64)
+    jitter = (0.1 * 1e-3) ** 2
+    v = float(fitc_mod.nll_raw(SE_ARD, hyp, jnp.asarray(X), jnp.asarray(y),
+                               jnp.asarray(X[-m:]), jitter))
+    np.testing.assert_allclose(v, rec["oracle_f64_nll"], rtol=1e-7)
+    per_point = abs(rec["final_nll"] - rec["oracle_f64_nll"]) / n
+    assert per_point < 1e-4
+    assert rec["heldout_rmse"] < 0.25          # data-fit basin (M=512)

@@ -261,3 +261,25 @@ def test_fitc_scales_vs_exact_formulaically(sparse_problem):
     m.train_multistart(4)
     _, _, alpha = m._post
     assert alpha.shape == (25,)
+
+
+def test_sparse_hosted_opt_routing(monkeypatch, toy_problem):
+    """Past the watchdog work threshold the sparse fit must run through
+    the host-driven optimizer (one device program per evaluation) — the
+    monolithic jitted fit CRASHED the TPU worker at N=102400 M=512 —
+    and reach the same optimum on a small problem."""
+    X, y, Xs, _ = toy_problem
+    from gp_tpu import FITC
+
+    a = FITC(X, y)
+    a.set_inducing(X[-20:])
+    nll_a = a.train()
+
+    b = FITC(X, y)
+    b.set_inducing(X[-20:])
+    monkeypatch.setattr(type(b), "_use_hosted_opt", lambda self: True)
+    nll_b = b.train()
+    np.testing.assert_allclose(nll_b, nll_a, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.batch_predict_y(Xs)),
+                               np.asarray(a.batch_predict_y(Xs)),
+                               rtol=1e-4, atol=1e-6)
