@@ -243,18 +243,18 @@ def eval50k(n=51200, d=10, tile=2048, reps=3):
     return out
 
 
-def fitc100k(n=102400, m=512, d=10):
-    """Full FITC MLE fit at the BASELINE sparse config (N=100k+, M=512)
-    on one chip: the O(N M^2) regime the sparse models exist for, at an N
-    the exact path cannot hold.  Inducing = the LAST m training rows
-    (the reference drivers' rightCols convention, test_fitc.cpp:36).
+def sparse100k(model_name="fitc", n=102400, m=512, d=10):
+    """Full FITC/VFE MLE fit at the BASELINE sparse config (N=100k+,
+    M=512) on one chip: the O(N M^2) regime the sparse models exist for,
+    at an N the exact path cannot hold.  Inducing = the LAST m training
+    rows (the reference drivers' rightCols convention, test_fitc.cpp:36).
     Oracle cross-check: `ref_equiv.py eval-at-synth-sparse <json>`."""
     import jax
-    from gp_tpu import FITC
+    from gp_tpu import FITC, VFE
 
     X, y = make_data(n, d)
     Xs, ys = make_data(2000, d, seed=7)
-    model = FITC(X, y)
+    model = (FITC if model_name == "fitc" else VFE)(X, y)
     model.set_inducing(X[-m:])
     t0 = time.perf_counter()
     nll = model.train()
@@ -264,7 +264,7 @@ def fitc100k(n=102400, m=512, d=10):
     pred_wall = time.perf_counter() - t0
     rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys) ** 2)))
     out = {
-        "metric": f"tpu_fitc_fit_n{n}_m{m}_d{d}",
+        "metric": f"tpu_{model_name}_fit_n{n}_m{m}_d{d}",
         "value": round(wall, 1), "unit": "s (incl. compile)",
         "final_nll": float(nll), "heldout_rmse": round(rmse, 4),
         "predict_2000_s": round(pred_wall, 2),
@@ -273,7 +273,7 @@ def fitc100k(n=102400, m=512, d=10):
         "inducing": "last_m_rows",
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "golden", f"tpu_fitc_n{n}_m{m}.json")
+                        "golden", f"tpu_{model_name}_n{n}_m{m}.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out))
     return out
@@ -319,7 +319,9 @@ if __name__ == "__main__":
     elif cmd == "fit50k-warm":
         fit50k(warm=True)
     elif cmd == "fitc100k":
-        fitc100k()
+        sparse100k("fitc")
+    elif cmd == "vfe100k":
+        sparse100k("vfe")
     elif cmd == "refine":
         refine(sys.argv[2])
     else:
