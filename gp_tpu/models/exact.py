@@ -1072,11 +1072,19 @@ class GP(GPBase):
         from ..parallel.pchol import auto_block
         if block is None:
             block = auto_block(self.num_train, mesh.shape["rows"])
-        res = pgp.pfit(self.kernel, self._noise_free, self._x, self._ys,
-                       jnp.asarray(vec0, self._dtype),
-                       jnp.asarray(lb_v, self._dtype),
-                       jnp.asarray(ub_v, self._dtype),
-                       mesh, block=block, max_evals=self._MAX_EVAL)
+        # watchdog routing (mirrors the single-chip stream regime): a
+        # monolithic 160-eval jitted program past ~8192^3 per-device
+        # work units (~0.5 s/eval) risks the remote runtime's ~60-100 s
+        # single-execution kill; drive the optimizer from the host with
+        # one distributed program per evaluation instead
+        n = self.num_train
+        fit_fn = (pgp.pfit_hosted
+                  if n ** 3 / mesh.shape["rows"] > 8192 ** 3 else pgp.pfit)
+        res = fit_fn(self.kernel, self._noise_free, self._x, self._ys,
+                     jnp.asarray(vec0, self._dtype),
+                     jnp.asarray(lb_v, self._dtype),
+                     jnp.asarray(ub_v, self._dtype),
+                     mesh, block=block, max_evals=self._MAX_EVAL)
         self.last_opt_result = res._replace(
             f=res.f + self.num_train * float(np.log(self._y_sigma)))
         self._hyps = jnp.asarray(self._hyp_from_std(

@@ -233,6 +233,41 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
     return LBFGSBResult(*out)
 
 
+def pfit_hosted(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+                mesh: Mesh, block: int | None = None,
+                max_evals: int = 160) -> LBFGSBResult:
+    """pfit with the L-BFGS-B loop on the HOST: each objective evaluation
+    is ONE distributed device program (pnll_vg).
+
+    Two reasons to prefer this over the monolithic jitted pfit:
+    * runtimes with a single-execution watchdog (this image's remote
+      tunnel kills executions past ~60-100 s — a 160-eval program at
+      2.6 s/eval on one chip at N=32768 is far past it);
+    * pod-scale fits where per-evaluation host control (logging,
+      checkpointing the incumbent, early stopping) is worth the ~30 ms
+      dispatch per step against multi-second evaluations.
+    GP.train_distributed routes here automatically when the estimated
+    monolithic program would breach the watchdog.
+    """
+    from ..optim.lbfgsb import lbfgsb_hosted
+
+    n_dev = mesh.shape[AXIS]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], n_dev)
+    x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), n_dev, block)
+    dt = x_pad.dtype
+
+    def fun(v):
+        hyp = from_opt_vec(v, noise_free)
+        f, g = _pnll_program(kernel, hyp, x_pad, y_pad, n, n_dev, block,
+                             mesh)
+        gv = jnp.concatenate([g[:-2], g[-1:]]) if noise_free else g
+        return sanitize_value_and_grad(f, gv)
+
+    return lbfgsb_hosted(fun, jnp.asarray(vec0, dt), jnp.asarray(lb, dt),
+                         jnp.asarray(ub, dt), max_evals=max_evals)
+
+
 @partial(jax.jit, static_argnames=("kernel", "n_real", "n_dev", "block", "mesh"))
 def _pfactor_program(kernel, hyp, x_pad, y_pad, n_real, n_dev, block, mesh):
     """Factor K(hyp) distributed; return (L_loc sharded, ok, invKys)."""
