@@ -17,9 +17,11 @@ The NLL gradient is ANALYTIC (reference GP.cpp:151-171):
     g_mean = -sum(alpha)
 
 rather than autodiff through the unrolled distributed Cholesky, which would
-checkpoint O(nb) N x B panels per step.  K^{-1} comes from the distributed
-TRSM + SYRK (pinv_from_chol_local), exactly as the reference calls
-MatrixSolver::inverse per gradient evaluation.
+checkpoint O(nb) N x B panels per step.  K^{-1} is STREAMED: W = L^{-1}
+rows via the distributed TRSM, then each local row block of K^{-1} comes
+from one sliced SYRK + psum_scatter (pchol.pkinv_rowblock_local) and is
+contracted immediately — ~2 N^2/P live buffers per device where the
+reference's explicit MatrixSolver::inverse analog would hold ~4.
 
 Padding: N is padded to a multiple of n_dev*block with identity rows/cols
 (K_pad = blockdiag(K, I), r_pad = [r; 0]) — log|K_pad| = log|K| and
