@@ -944,8 +944,9 @@ class GP(GPBase):
         if m < 8:
             return None               # nothing meaningful to sub-fit
         hyp = self.subset_init_hyps(m=m)
-        print(f"[gp_tpu] train: INF start at HBM scale — subset-MLE "
-              f"warm start (m={m}), log_sn={float(hyp[-2]):.4f}",
+        print(f"[gp_tpu] train: HBM-scale start recovery — subset-MLE "
+              f"warm start (m={m}) probes against the given start; "
+              f"subset log_sn={float(hyp[-2]):.4f}",
               file=sys.stderr, flush=True)
         return hyp
 
