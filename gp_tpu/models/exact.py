@@ -40,6 +40,12 @@ from .base import (GPBase, debug_decomp_enabled, debug_print_nll_decomp,
 # around here; see nll_vg_streamed / set_k_streamed).
 _STREAM_MIN_N = 32768
 
+# Per-device work units (N^3 / P) above which train_distributed drives the
+# optimizer from the host (pgp.pfit_hosted) instead of the monolithic
+# jitted pfit — ~0.5 s/eval, where a 160-eval single execution approaches
+# the remote runtime's ~60-100 s watchdog.
+_DIST_HOSTED_WORK = 8192 ** 3
+
 
 # --------------------------------------------------------------------------
 # Pure functions
@@ -1080,7 +1086,8 @@ class GP(GPBase):
         # one distributed program per evaluation instead
         n = self.num_train
         fit_fn = (pgp.pfit_hosted
-                  if n ** 3 / mesh.shape["rows"] > 8192 ** 3 else pgp.pfit)
+                  if n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
+                  else pgp.pfit)
         res = fit_fn(self.kernel, self._noise_free, self._x, self._ys,
                      jnp.asarray(vec0, self._dtype),
                      jnp.asarray(lb_v, self._dtype),

@@ -181,3 +181,35 @@ def test_pfit_hosted_matches_pfit(mesh):
     # its value re-evaluated through the monolithic path's pnll agrees
     f_re, _ = pgp.pnll_vg(SE_ARD, res_h.x, X, y, mesh, block=4)
     np.testing.assert_allclose(float(f_re), float(res_h.f), rtol=1e-9)
+
+
+def test_train_distributed_watchdog_routing(mesh, monkeypatch):
+    """train_distributed must route to pfit_hosted past the per-device
+    work threshold (the monolithic jitted program breaches the remote
+    runtime's single-execution watchdog at real scale)."""
+    rng = np.random.default_rng(4)
+    n, d = 64, 2
+    X = rng.standard_normal((n, d))
+    y = np.sin(1.5 * X[:, 0]) + 0.1 * rng.standard_normal(n)
+    from gp_tpu import GP
+
+    calls = {}
+    real_hosted = pgp.pfit_hosted
+
+    def spy(*a, **k):
+        calls["hosted"] = True
+        return real_hosted(*a, **k)
+
+    monkeypatch.setattr(pgp, "pfit_hosted", spy)
+    gp = GP(X, y)
+    res_small = gp.train_distributed(mesh, block=4)      # monolithic path
+    assert "hosted" not in calls
+    assert np.isfinite(res_small)
+
+    # lower the threshold: the same entry must now route hosted
+    monkeypatch.setattr(exact, "_DIST_HOSTED_WORK", 1)
+    gp2 = GP(X, y)
+    res_hosted = gp2.train_distributed(mesh, block=4)
+    assert calls.get("hosted")
+    assert np.isfinite(res_hosted)
+    assert abs(res_hosted - res_small) < 0.01 * (abs(res_small) + 1.0)
