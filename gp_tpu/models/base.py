@@ -350,8 +350,13 @@ class GPBase:
         """MVMO global search (GP.cpp:463-485): adaptive mean-variance
         mapping with archive 25 and the reference's fs 0.5 -> 20 shaping
         schedule (optim.multistart.mvmo_search), with the sn2 > mean(sf2)
-        rejection installed in the objective."""
-        from ..optim.multistart import mvmo_search
+        rejection installed in the objective.
+
+        At watchdog scale (the hosted-optimizer predicate) the SAME search
+        runs host-driven — one generation per device execution — because
+        the fully-jitted scan is one program of ~max_eval factorizations,
+        the measured worker-crash shape (optim/lbfgsb.lbfgsb_hosted)."""
+        from ..optim.multistart import mvmo_search, mvmo_search_hosted
 
         def_hyp = jnp.asarray(self._hyp_to_std(def_hyp), self._dtype)
         lb, ub = self._std_bounds()
@@ -360,7 +365,9 @@ class GPBase:
         x0_v = to_opt_vec(def_hyp, self._noise_free)
 
         fun = self._multistart_objective()
-        best_v, best_f = mvmo_search(
+        search = (mvmo_search_hosted if self._use_hosted_opt()
+                  else mvmo_search)
+        best_v, best_f = search(
             fun, self._next_key(), lb_v, ub_v, x0_v, num=int(max_eval),
             chunk=self._multistart_chunk(),
         )
@@ -375,6 +382,14 @@ class GPBase:
 
     def _multistart_objective(self) -> Callable:
         raise NotImplementedError
+
+    def _use_hosted_opt(self) -> bool:
+        """True when a monolithic multi-evaluation jitted program would
+        breach the remote runtime's ~60-100 s execution watchdog, so every
+        optimizer/search entry must run host-driven (one device execution
+        per objective evaluation).  Overridden per model with a measured
+        threshold (GP: the stream regime; sparse: N*M^2 work units)."""
+        return False
 
     def _warm_start_hyps(self):
         """Optional model-specific recovery start tried before the noise
@@ -494,8 +509,14 @@ class GPBase:
         noise-only attractor), and restarts are nearly free when batched.
         On a device mesh the restarts shard across chips
         (gp_tpu.parallel.pmultistart).
+
+        At watchdog scale (the hosted-optimizer predicate) the starts run
+        sequentially through the host-driven optimizer instead — the
+        vmapped n_starts x max_evals monolith is the measured
+        worker-crash shape, and one evaluation already fills the chip.
         """
-        from ..optim.multistart import multistart_lbfgsb
+        from ..optim.multistart import (multistart_lbfgsb,
+                                        multistart_lbfgsb_hosted)
 
         if init_hyps is None:
             init_hyps = self.get_default_hyps()
@@ -512,8 +533,10 @@ class GPBase:
             lb_v, ub_v)
 
         fun = self._objective_closure()
-        res = multistart_lbfgsb(fun, self._next_key(), lb_v, ub_v, vec0,
-                                n_starts=n_starts, max_evals=self._MAX_EVAL)
+        runner = (multistart_lbfgsb_hosted if self._use_hosted_opt()
+                  else multistart_lbfgsb)
+        res = runner(fun, self._next_key(), lb_v, ub_v, vec0,
+                     n_starts=n_starts, max_evals=self._MAX_EVAL)
         self._hyps = jnp.asarray(self._hyp_from_std(
             np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
             self._dtype)

@@ -168,8 +168,14 @@ class BucketedGP(GP):
                           max_evals=self._MAX_EVAL, solver=self.solver)
 
     def _update_posterior(self):
-        hyp, f, invKys = set_k_masked(self.kernel, self._hyps, self._xp,
-                                      self._yp, self._n_real, self.solver)
+        hyp, f, invKys, ok = set_k_masked(self.kernel, self._hyps, self._xp,
+                                          self._yp, self._n_real, self.solver)
+        if not bool(ok):
+            # reference parity (GP.cpp:423-444): never serve a failed factor
+            raise RuntimeError(
+                "posterior factorization failed after noise inflation "
+                "(set_k_masked exhausted max_tries); refusing to cache a "
+                "NaN posterior")
         self._hyps = hyp
         self._post = (*f, invKys)
 

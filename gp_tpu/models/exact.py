@@ -64,6 +64,16 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
     mean = hyp_mean(hyp)
     n = x.shape[0]
     r = y - mean
+    if solver.name != "chol" and n >= _STREAM_MIN_N:
+        # trace-time guard: the dense get_k_noise build below holds two
+        # N^2 buffers — the measured-OOM shape on one chip at stream
+        # scale.  Only the chol strategy has a streamed/slabbed build
+        # (MatrixSolver.cpp:31-53 QR parity holds below this threshold).
+        raise NotImplementedError(
+            f"solver '{solver.name}' is unsupported at N={n} >= "
+            f"{_STREAM_MIN_N} (the dense two-buffer K build it requires "
+            f"exceeds single-chip HBM); use the 'chol' solver, whose "
+            f"build streams/slabs at this scale")
     if solver.name == "chol" and n >= _STREAM_MIN_N:
         # HBM-bound N: build + factor at ~1x N^2 peak (streamed/slabbed);
         # the dense K build below holds two N^2 buffers — measured OOM
@@ -554,6 +564,12 @@ def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y,
             f, g_hyp = nll_vg_raw(kernel, hyp, x, y)
         g = to_opt_vec(g_hyp, noise_free)
         return sanitize_value_and_grad(f, g)
+    if x.shape[0] >= _STREAM_MIN_N:
+        # same trace-time guard as nll_raw: AD of the dense QR build is
+        # the measured-OOM shape at stream scale
+        raise NotImplementedError(
+            f"solver '{solver.name}' is unsupported at N={x.shape[0]} >= "
+            f"{_STREAM_MIN_N}; use the 'chol' solver (streamed gradient)")
     f, g = jax.value_and_grad(
         lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y, solver)
     )(vec)
@@ -593,8 +609,11 @@ def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
     noise until the solver accepts it (log_sn += log sqrt(10), restarting at
     log eps from -inf — GP.cpp:431-440), then cache invKys.
 
-    Returns (hyp', factors, invKys) — hyp' may carry inflated noise, as the
-    reference mutates _hyps.
+    Returns (hyp', factors, invKys, ok) — hyp' may carry inflated noise, as
+    the reference mutates _hyps.  ok=False means max_tries exhausted without
+    an SPD factorization (the reference's _setK loops FOREVER until success
+    and can never serve a failed factor, so callers must refuse to cache
+    the NaN posterior — GPBase raises).
     """
     from ..ops.blocked import add_diag
 
@@ -619,7 +638,7 @@ def set_k(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL,
         cond, body, (factor(log_sn0), log_sn0, jnp.zeros((), jnp.int32)))
     hyp = hyp.at[-2].set(log_sn)
     invKys = solver.solve(f, y - hyp_mean(hyp))
-    return hyp, f, invKys
+    return hyp, f, invKys, solver.ok(f)
 
 
 @partial(jax.jit, static_argnames=("kernel", "tile", "probes"))
@@ -714,9 +733,16 @@ def set_k_streamed(kernel: KernelSpec, hyp, x, y, tile: int = 2048,
             out = (h, alpha, logdet, nll_ref)
             break
     if out is None:
-        # exhausted: return the last attempt; NaNs propagate to callers'
-        # finite checks (GPBase guards against caching a NaN posterior)
-        out = (h, alpha, logdet, nll_ref)
+        # exhausted: the reference's _setK loops until the factorization
+        # succeeds and can never serve a failed factor (GP.cpp:423-444) —
+        # fail loud rather than cache a NaN posterior (mirrors the
+        # distributed analogs, GP.train_distributed / psparse)
+        raise RuntimeError(
+            f"set_k_streamed: posterior factorization failed after "
+            f"{len(candidates)} rescue attempts (conditioning-floor "
+            f"schedule then the x-sqrt(10) ladder up to "
+            f"log_sn={0.5 * math.log(candidates[-1]):.2f}); refusing to "
+            f"cache a NaN posterior")
     if tries:
         # noise adjustment is a MODEL CHANGE (GP.cpp:431-440 mutates
         # _hyps) — always say it happened and by how much
@@ -1004,6 +1030,12 @@ class GP(GPBase):
         return (self.solver.name == "chol"
                 and self._x.shape[0] >= _STREAM_MIN_N)
 
+    def _use_hosted_opt(self) -> bool:
+        # stream-regime N: one NLL+gradient is ~6 s at N=51200, so ANY
+        # multi-evaluation monolith (vmapped multistart, the MVMO scan)
+        # is the measured worker-crash shape — run everything host-driven
+        return self._in_stream_regime()
+
     def _update_posterior(self):
         if self._in_stream_regime():
             # factor-as-temp posterior: the cache is invKys + scalars
@@ -1014,8 +1046,16 @@ class GP(GPBase):
             self._post = (invKys,)
             self._post_aux = aux
         else:
-            hyp, f, invKys = set_k(self.kernel, self._hyps, self._x,
-                                   self._y, self.solver)
+            hyp, f, invKys, ok = set_k(self.kernel, self._hyps, self._x,
+                                       self._y, self.solver)
+            if not bool(ok):
+                # reference parity: _setK loops until the factorization
+                # succeeds (GP.cpp:423-444) — it can never serve a failed
+                # factor, so neither may we (matches train_distributed)
+                raise RuntimeError(
+                    "posterior factorization failed after noise inflation "
+                    "(set_k exhausted max_tries); refusing to cache a NaN "
+                    "posterior")
             self._post = (*f, invKys)
             self._post_aux = None
         self._hyps = hyp
@@ -1335,7 +1375,7 @@ def set_k_masked(kernel: KernelSpec, hyp, x_pad, y_pad, n_real,
         cond, body, (factor(log_sn0), log_sn0, jnp.zeros((), jnp.int32)))
     hyp = hyp.at[-2].set(log_sn)
     r = jnp.where(real, y_pad - hyp_mean(hyp), 0.0)
-    return hyp, f, solver.solve(f, r)
+    return hyp, f, solver.solve(f, r), solver.ok(f)
 
 
 @partial(jax.jit, static_argnames=("kernel", "solver"))

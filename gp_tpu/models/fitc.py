@@ -258,6 +258,13 @@ class FITC(SparseGPBase):
         Luu, LA, alpha, jitter, ok = set_k(
             self.kernel, self._hyps, self._x, self._y, self._u,
             jnp.asarray(self._jitter_u, self._dtype))
+        if not bool(ok):
+            # FITC::_setK loops until SPD (FITC.cpp:184-198) — it can never
+            # serve a failed factor; fail loud (matches train_distributed)
+            raise RuntimeError(
+                "FITC posterior factorization failed after jitter doubling "
+                "(set_k exhausted max_tries); refusing to cache a NaN "
+                "posterior")
         self._jitter_u = float(jitter)
         self._post = (Luu, LA, alpha)
 

@@ -259,6 +259,13 @@ class VFE(SparseGPBase):
         Luu, LA, alpha, added, ok = set_k(
             self.kernel, self._hyps, self._x, self._y, self._u,
             jnp.asarray(self._jitter_u, self._dtype))
+        if not bool(ok):
+            # VFE::_setK loops until SPD (VFE.cpp:146-158) — it can never
+            # serve a failed factor; fail loud (matches train_distributed)
+            raise RuntimeError(
+                "VFE posterior factorization failed after jitter doubling "
+                "(set_k exhausted max_tries); refusing to cache a NaN "
+                "posterior")
         self._post = (Luu, LA, alpha)
 
     # -- prediction API ------------------------------------------------------

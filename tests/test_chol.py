@@ -57,7 +57,7 @@ def test_noise_escalation_recovers():
     hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
     log_sn = np.log(1e-12)
     hyp[-2] = log_sn
-    hyp_out, f, invKys = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    hyp_out, f, invKys, ok = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
     assert np.all(np.isfinite(np.asarray(invKys)))
     assert float(hyp_out[-2]) > log_sn
     steps = (float(hyp_out[-2]) - log_sn) / (0.5 * np.log(10))
@@ -72,7 +72,7 @@ def test_noise_escalation_from_noise_free():
 
     x, y = _dup_problem()
     hyp = default_hyps(SE_ARD, x, y, 1e-3, True)   # noise-free: log_sn=-inf
-    hyp_out, f, invKys = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    hyp_out, f, invKys, ok = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
     assert np.isfinite(float(hyp_out[-2]))
     assert np.all(np.isfinite(np.asarray(invKys)))
 
@@ -87,7 +87,7 @@ def test_noise_escalation_noop_when_spd(spd):
     x = jnp.asarray(rng.uniform(-2, 2, (25, 2)))
     y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
     hyp = default_hyps(SE_ARD, x, y, 1e-3, False)
-    hyp_out, _, _ = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
+    hyp_out, _, _, _ = exact.set_k(SE_ARD, jnp.asarray(hyp), x, y)
     assert float(hyp_out[-2]) == pytest.approx(hyp[-2], abs=1e-12)
 
 

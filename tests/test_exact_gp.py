@@ -307,7 +307,7 @@ def test_set_k_streamed_matches_set_k():
 
     # no-rescue case: exact agreement (same hyps; the refined invKys is
     # strictly more accurate, so compare against a direct dense solve)
-    h0, f0, iv0 = exact.set_k(SE_ARD, hyp, Xj, yj)
+    h0, f0, iv0, _ = exact.set_k(SE_ARD, hyp, Xj, yj)
     h1, aux, iv1 = exact.set_k_streamed(SE_ARD, hyp, Xj, yj, tile=32)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(iv0), np.asarray(iv1), rtol=1e-6)

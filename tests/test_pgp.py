@@ -76,7 +76,7 @@ def test_pset_k_and_ppredict(mesh, prob):
     xs = jnp.asarray(rng.uniform(-2, 2, (17, 3)))
     hyp = jnp.asarray(default_hyps(SE_ARD, x, y, 1e-3, False))
 
-    hyp_ref, L_ref, invKys_ref = exact.set_k(SE_ARD, hyp, x, y)
+    hyp_ref, L_ref, invKys_ref, _ = exact.set_k(SE_ARD, hyp, x, y)
     mu_ref, s2_ref = exact.predict(SE_ARD, hyp_ref, x, L_ref, invKys_ref, xs)
 
     hyp_d, L, invKys, ok = pgp.pset_k(SE_ARD, hyp, x, y, mesh, block=4)

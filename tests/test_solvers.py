@@ -95,3 +95,26 @@ def test_gp_with_qr_pivot_solver(toy_problem):
     mu1, _ = g1.batch_predict(Xs)
     mu2, _ = g2.batch_predict(Xs)
     np.testing.assert_allclose(mu1, mu2, rtol=1e-6)
+
+
+def test_qr_stream_scale_guard(monkeypatch):
+    """A non-chol solver at stream scale must raise loudly at trace time
+    instead of silently entering the dense two-buffer K build (the
+    measured-OOM shape on one chip)."""
+    from gp_tpu import SE_ARD
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps, to_opt_vec
+
+    monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((48, 3)))
+    y = jnp.sin(X[:, 0])
+    hyp = jnp.asarray(default_hyps(SE_ARD, X, y, 1e-3, False))
+    with pytest.raises(NotImplementedError, match="use the 'chol' solver"):
+        exact.nll_raw(SE_ARD, hyp, X, y, solver=QR)
+    with pytest.raises(NotImplementedError, match="use the 'chol' solver"):
+        exact.objective_vg(SE_ARD, False, to_opt_vec(hyp, False), X, y,
+                           solver=QR)
+    # the chol strategy still routes (streamed) and stays finite
+    v = exact.nll_raw(SE_ARD, hyp, X, y, solver=CHOL)
+    assert np.isfinite(float(v))
