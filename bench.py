@@ -10,7 +10,13 @@ vs_baseline compares against the reference-equivalent CPU implementation
 unbuildable Eigen/NLOPT reference; see BASELINE.md), measured once on this
 image and recorded in benchmarks/baseline_cpu.json.
 
-Env overrides: GP_BENCH_N (default 8000), GP_BENCH_REPS (default 20).
+A second reading at N=16384 (synthetic rows, d=10 — the size where the
+factorization's MXU story is strongest, BASELINE.md round-4 tables) is
+attached as extra fields on the same line; the headline metric/value
+stay the bundled-workload N=8000 reading.
+
+Env overrides: GP_BENCH_N (default 8000), GP_BENCH_REPS (default 20),
+GP_BENCH_N2 (default 16384; 0 disables the second reading).
 """
 
 from __future__ import annotations
@@ -93,6 +99,27 @@ def main():
         "dtype": jnp.dtype(dt).name,
         "nll_at_default": float(f0),
     }
+
+    n2 = int(os.environ.get("GP_BENCH_N2", 16384))
+    if n2:
+        from benchmarks.synth import make_data
+        X2, y2 = make_data(n2, d=10, seed=42)
+        x2_d = jnp.asarray(X2, dt)
+        y2_d = jnp.asarray(y2, dt)
+        hyp2 = jnp.asarray(default_hyps(SE_ARD, X2, y2, 1e-3, False), dt)
+        fun2 = jax.jit(lambda h: exact.objective_vg(SE_ARD, False, h,
+                                                    x2_d, y2_d))
+        f2, g2 = fun2(hyp2)
+        jax.block_until_ready((f2, g2))
+        reps2 = max(4, reps // 4)
+        hs2 = [hyp2 + jnp.asarray(0.01 * rng.standard_normal(hyp2.shape),
+                                  dt) for _ in range(reps2)]
+        t0 = time.perf_counter()
+        outs2 = [fun2(h) for h in hs2]
+        jax.block_until_ready(outs2)
+        out["evals_per_s_n16384_d10"] = round(reps2 / (time.perf_counter()
+                                                       - t0), 4)
+
     print(json.dumps(out))
 
 

@@ -61,6 +61,7 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "chol"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     block = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    base_block = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     runs = 3
     dt = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -78,7 +79,7 @@ def main():
         chyp0 = jnp.zeros((d + 1,), dt)
         fn = jax.jit(lambda c, s2: jnp.sum(blocked_cholesky(
             get_k_noise(SE_ARD)(chyp0 + c, s2, X, n),
-            block=block, zero_upper=False)))
+            block=block, base_block=base_block, zero_upper=False)))
         args = lambda i: (jnp.asarray(0.001 * i, dt),
                           jnp.asarray(0.05 + 0.001 * i, dt))
     elif mode == "obj":
@@ -103,7 +104,8 @@ def main():
     with jax.profiler.trace(logdir):
         for i in range(1, runs + 1):
             float(np.asarray(fn(*args(i))))
-    print(f"[{mode} N={n} block={block}]")
+    print(f"[{mode} N={n} block={block} base={base_block}]"
+          if mode == "chol" else f"[{mode} N={n}]")
     aggregate(logdir, runs)
 
 

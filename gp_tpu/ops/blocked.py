@@ -35,7 +35,59 @@ from jax.scipy.linalg import solve_triangular
 # slabbed.use_slabs().
 
 
-def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
+def _chol_inv_block(Kb, block: int, base_block: int, base_fn,
+                    need_inv: bool = True):
+    """(L, T=L^-1) of one diagonal block, FUSED: the recursion's sub-block
+    inverses serve both the panel GEMMs and the inverse assembly.
+
+    Replaces the `base(Kb)` + separate `tri_inv(Ljj)` pair in
+    blocked_cholesky: that pair re-solved every sub-diagonal block a
+    second time (one batched triangular solve per panel) to rebuild
+    inverses the recursion had already produced for its own panel GEMMs.
+    Here each sub-block is solved exactly once; the strips of T are
+    assembled with the same ~m^3/3 GEMM flow as tri_inv.  The serial
+    non-dot chain per block drops from ~2x(m/b) to (m/b) triangular
+    custom-calls.  need_inv=False (the caller's LAST panel needs no
+    inverse) skips T entirely.
+    """
+    m = Kb.shape[0]
+    if m <= base_block:
+        L = (base_fn or jnp.linalg.cholesky)(Kb)
+        if not need_inv:
+            return L, None
+        return L, solve_triangular(L, jnp.eye(m, dtype=Kb.dtype),
+                                   lower=True)
+    # same split rule as blocked_cholesky's base(): quarter-size panels
+    b = max(base_block, min(block, m // 4))
+    if m % b:
+        # non-dividing size: fall back to the unfused pair
+        L = blocked_cholesky(Kb, block=b, base_block=base_block,
+                             base_fn=base_fn)
+        return L, (tri_inv(L, base=base_block) if need_inv else None)
+    nb = m // b
+    L = Kb
+    T = jnp.zeros((m, m), Kb.dtype) if need_inv else None
+    for j in range(nb):
+        c0, c1 = j * b, (j + 1) * b
+        last = c1 == m
+        Ljj, Tjj = _chol_inv_block(L[c0:c1, c0:c1], b, base_block, base_fn,
+                                   need_inv=need_inv or not last)
+        L = L.at[c0:c1, c0:c1].set(jnp.tril(Ljj))
+        if not last:
+            pan = ut_matmul(L[c1:, c0:c1], Tjj.T)
+            L = L.at[c1:, c0:c1].set(pan)
+            L = L.at[c1:, c1:].add(-(pan @ pan.T))
+        if need_inv:
+            if c0:
+                # tri_inv's strip forward-substitution, interleaved:
+                # T[row, :c0] = -Tjj (L[row, :c0] @ T[:c0, :c0])
+                S = lt_matmul(L[c0:c1, :c0], T[:c0, :c0])
+                T = T.at[c0:c1, :c0].set(-(Tjj @ S))
+            T = T.at[c0:c1, c0:c1].set(Tjj)
+    return L, T
+
+
+def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
                      panel_inv: bool = True, zero_upper: bool = True,
                      base_fn=None):
     """Lower Cholesky factor of K (n x n), right-looking with block panels.
@@ -73,24 +125,30 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 256,
         return blocked_cholesky(Kp, block, base_block, panel_inv,
                                 zero_upper, base_fn)[:n, :n]
 
-    def base(Kb):
-        m = Kb.shape[0]
-        if m <= base_block:
-            return (base_fn or jnp.linalg.cholesky)(Kb)
-        # one-level recursion with a quarter-size panel
-        return blocked_cholesky(Kb, block=max(base_block, m // 4),
-                                base_block=base_block, panel_inv=panel_inv,
-                                base_fn=base_fn)
-
     nb = n // block
-    L = K
+    # Cholesky input is symmetric by contract, so K.T is the same VALUE —
+    # but the transpose hands XLA a free layout degree of freedom: when K
+    # arrives as a row-major custom-call output (the Pallas kernel
+    # builder) and layout assignment wants the factorization buffer
+    # column-major, the transpose folds into a bitcast instead of a full
+    # N^2 relayout copy (measured -0.8 ms per factorization at N=8192
+    # f32 on v5e; BASELINE.md round 4).  With zero_upper=False the
+    # strictly-upper leftovers are then K's LOWER-triangle values —
+    # still "K leftovers" as documented, consumers read only the lower
+    # triangle either way.
+    L = K.T
     for j in range(nb):
         c0, c1 = j * block, (j + 1) * block
-        Ljj = base(L[c0:c1, c0:c1])
+        # fused diagonal factor+inverse: the recursion's sub-inverses are
+        # reused instead of re-solved by a separate tri_inv(Ljj) — one
+        # triangular solve per base block instead of two (see
+        # _chol_inv_block; A/B'd on chip, BASELINE.md round 4)
+        Ljj, Tjj = _chol_inv_block(L[c0:c1, c0:c1], block, base_block,
+                                   base_fn,
+                                   need_inv=panel_inv and c1 < n)
         L = L.at[c0:c1, c0:c1].set(jnp.tril(Ljj))
         if c1 < n:
             if panel_inv:
-                Tjj = tri_inv(Ljj, base=base_block)
                 pan = ut_matmul(L[c1:, c0:c1], Tjj.T)
             else:
                 pan = solve_triangular(Ljj, L[c1:, c0:c1].T, lower=True).T

@@ -113,7 +113,39 @@ def _local_blocks(nbl: int, n_dev: int, axis_name: str):
     return jnp.arange(nbl) * n_dev + p
 
 
-def pchol_local(K_loc, n_dev: int, axis_name: str):
+def _pchol_panel(K_loc, j: int, n_dev: int, axis_name: str):
+    """Steps 1-2 of panel j: factor the diagonal block on its owner,
+    broadcast it, local panel TRSM, mask to the below-panel blocks.
+    Returns the (nbl, B, B) panel (finalized columns [j*B, (j+1)*B))."""
+    nbl, B, N = K_loc.shape
+    p = jax.lax.axis_index(axis_name)
+    g = _local_blocks(nbl, n_dev, axis_name)
+    lj, owner = j // n_dev, j % n_dev
+    c0, c1 = j * B, (j + 1) * B
+
+    # 1. factor the diagonal block on its owner, broadcast over ICI
+    diag = K_loc[lj, :, c0:c1]
+    Ljj = jnp.linalg.cholesky(diag)
+    Ljj = jax.lax.psum(
+        jnp.where(p == owner, Ljj, jnp.zeros_like(Ljj)), axis_name)
+
+    # 2. local panel TRSM:  X = K[:, j] Ljj^{-T}  for blocks below j
+    cols = K_loc[:, :, c0:c1]                            # (nbl, B, B)
+    X = solve_triangular(
+        Ljj, cols.reshape(nbl * B, B).T, lower=True).T.reshape(nbl, B, B)
+    below = (g > j)[:, None, None]
+    panel = jnp.where(below, X, 0.0)
+    return jnp.where((g == j)[:, None, None], jnp.tril(Ljj)[None], panel)
+
+
+def _gather_panel(panel, axis_name: str):
+    """Panel all-gather: (P, nbl, B, B) -> natural-order (N, B)."""
+    full = jax.lax.all_gather(panel, axis_name)          # [q, l] = block l*P+q
+    q, nbl, B = full.shape[:3]
+    return full.transpose(1, 0, 2, 3).reshape(q * nbl * B, B)
+
+
+def pchol_local(K_loc, n_dev: int, axis_name: str, lookahead: bool = True):
     """Distributed right-looking blocked Cholesky.
 
     K_loc: (nbl, B, N) — this device's row blocks of the SPD matrix, block
@@ -129,48 +161,65 @@ def pchol_local(K_loc, n_dev: int, axis_name: str):
     leaves the loop with exact lower-triangular structure.  The N^2/P
     broadcast-compare select this replaces cost a measured 4.7 ms at
     N=16384 on the single-chip path (ops/blocked.py zero_upper=False).
+
+    lookahead=True (default) pipelines the panels one step ahead: the
+    trailing update with panel j is split into the NARROW slice that
+    finalizes panel j+1's columns (applied first) and the WIDE remainder
+    — panel j+1 is then factored/TRSM'd and its all_gather ISSUED before
+    the wide GEMM, so XLA's latency-hiding scheduler overlaps the
+    (N x B per panel) collective with the dominant MXU matmul instead of
+    serializing nb blocking gathers on the critical path (the term the
+    >= 80% 1->2-host scaling target needs hidden on DCN — BASELINE.md
+    round-4 comm model).  Identical arithmetic per output element (the
+    update is the same contraction applied in two disjoint column
+    slices): bitwise-equal factors on the virtual mesh
+    (tests/test_pchol.py).
     """
     nbl, B, N = K_loc.shape
     nb = nbl * n_dev
-    p = jax.lax.axis_index(axis_name)
-    g = _local_blocks(nbl, n_dev, axis_name)            # (nbl,)
 
+    if not lookahead:
+        for j in range(nb):                              # static unroll
+            c0, c1 = j * B, (j + 1) * B
+            panel = _pchol_panel(K_loc, j, n_dev, axis_name)
+            K_loc = K_loc.at[:, :, c0:c1].set(panel)
+            full = _gather_panel(panel, axis_name)
+            # trailing update (static shrinking width) — the MXU matmul.
+            # Local blocks l < (j+1)//P have g = l*P + p <= j on EVERY
+            # device: their panel rows are zero (or the finalized
+            # diagonal, whose trailing columns get overwritten later), so
+            # the update is sliced to start at l0 — the block-cyclic
+            # analog of the shrinking trailing matrix, halving update
+            # FLOPs vs the full-height einsum (N^3/3 total, not N^3/2).
+            l0 = (j + 1) // n_dev
+            if c1 < N and l0 < nbl:
+                upd = jnp.einsum("lrk,ck->lrc", panel[l0:], full[c1:, :])
+                K_loc = K_loc.at[l0:, :, c1:].add(-upd)
+        return K_loc
+
+    # one-panel lookahead pipeline
+    panel = _pchol_panel(K_loc, 0, n_dev, axis_name)
+    K_loc = K_loc.at[:, :, 0:B].set(panel)
+    full = _gather_panel(panel, axis_name)
     for j in range(nb):                                  # static unroll
-        lj, owner = j // n_dev, j % n_dev
-        c0, c1 = j * B, (j + 1) * B
-
-        # 1. factor the diagonal block on its owner, broadcast over ICI
-        diag = K_loc[lj, :, c0:c1]
-        Ljj = jnp.linalg.cholesky(diag)
-        Ljj = jax.lax.psum(
-            jnp.where(p == owner, Ljj, jnp.zeros_like(Ljj)), axis_name)
-
-        # 2. local panel TRSM:  X = K[:, j] Ljj^{-T}  for blocks below j
-        cols = K_loc[:, :, c0:c1]                        # (nbl, B, B)
-        X = solve_triangular(
-            Ljj, cols.reshape(nbl * B, B).T, lower=True).T.reshape(nbl, B, B)
-        below = (g > j)[:, None, None]
-        panel = jnp.where(below, X, 0.0)
-        panel = jnp.where((g == j)[:, None, None],
-                          jnp.tril(Ljj)[None], panel)
-        K_loc = K_loc.at[:, :, c0:c1].set(panel)
-
-        # 3. panel all-gather: (P, nbl, B, B) -> natural-order (N, B)
-        full = jax.lax.all_gather(panel, axis_name)      # [q, l] = block l*P+q
-        full = full.transpose(1, 0, 2, 3).reshape(N, B)  # [g] natural
-
-        # 4. trailing update (static shrinking width) — the MXU matmul.
-        #    Local blocks l < (j+1)//P have g = l*P + p <= j on EVERY
-        #    device: their panel rows are zero (or the finalized diagonal,
-        #    whose trailing columns get overwritten later), so the update
-        #    is sliced to start at l0 — the block-cyclic analog of the
-        #    shrinking trailing matrix, halving update FLOPs vs the
-        #    full-height einsum (N^3/3 total instead of N^3/2).
+        c1 = (j + 1) * B
         l0 = (j + 1) // n_dev
-        if c1 < N and l0 < nbl:
-            upd = jnp.einsum("lrk,ck->lrc", panel[l0:], full[c1:, :])
-            K_loc = K_loc.at[l0:, :, c1:].add(-upd)
-
+        if j + 1 < nb:
+            c2 = c1 + B
+            # (a) narrow update: finalize panel j+1's own columns
+            if l0 < nbl:
+                upd = jnp.einsum("lrk,ck->lrc", panel[l0:], full[c1:c2, :])
+                K_loc = K_loc.at[l0:, :, c1:c2].add(-upd)
+            # (b) factor/TRSM panel j+1 and ISSUE its all_gather now
+            panel_next = _pchol_panel(K_loc, j + 1, n_dev, axis_name)
+            K_loc = K_loc.at[:, :, c1:c2].set(panel_next)
+            full_next = _gather_panel(panel_next, axis_name)
+            # (c) wide remainder of panel j's trailing update — the MXU
+            #     GEMM the gather above hides behind
+            if c2 < N and l0 < nbl:
+                upd = jnp.einsum("lrk,ck->lrc", panel[l0:], full[c2:, :])
+                K_loc = K_loc.at[l0:, :, c2:].add(-upd)
+            panel, full = panel_next, full_next
     return K_loc
 
 
@@ -214,6 +263,49 @@ def ptrsm_lower_local(L_loc, R_loc, n_dev: int, axis_name: str):
         if l0 < nbl:
             upd = jnp.einsum("lrk,kt->lrt", L_loc[l0:, :, c0:c1], wj)
             W = W.at[l0:].add(
+                -jnp.where((g[l0:] > j)[:, None, None], upd, 0.0))
+    return W
+
+
+def pinv_rows_local(L_loc, n_dev: int, axis_name: str):
+    """W = L^{-1}, row-sharded G-layout (nbl, B, N) — the specialized
+    forward TRSM with the IDENTITY right-hand side.
+
+    Exploits W's lower-triangular structure, which the generic
+    `ptrsm_lower_local(L, eye_rows)` cannot: at panel j the solved block
+    wj and every trailing update touch only columns < (j+1)B (the
+    identity's block-j rows live there and updates only move mass to
+    lower column indices).  Static panel index -> static column slices:
+
+      FLOPs  ~N^3/6P   (vs ~N^3/2P full-width — 3x)
+      psum   ~(B, c1) per panel, half the broadcast bytes
+      and no (nbl, B, N) one-hot eye build (an N^2/P write pass).
+
+    Feeds the streamed analytic gradient (pgp.pnll_vg_local), where the
+    W build is the second-largest term after the factorization itself.
+    """
+    nbl, B, N = L_loc.shape
+    nb = nbl * n_dev
+    p = jax.lax.axis_index(axis_name)
+    g = _local_blocks(nbl, n_dev, axis_name)
+
+    W = jnp.zeros_like(L_loc)
+    # running RHS: identity rows minus accumulated panel contributions;
+    # block g's row range only ever holds nonzeros in columns < (g+1)B
+    R = (g[:, None] * B + jnp.arange(B)[None, :])[:, :, None]
+    R = (R == jnp.arange(N)[None, None, :]).astype(L_loc.dtype)
+    for j in range(nb):
+        lj, owner = j // n_dev, j % n_dev
+        c0, c1 = j * B, (j + 1) * B
+        wj = solve_triangular(L_loc[lj, :, c0:c1], R[lj, :, :c1],
+                              lower=True)
+        wj = jax.lax.psum(
+            jnp.where(p == owner, wj, jnp.zeros_like(wj)), axis_name)
+        W = W.at[lj, :, :c1].set(jnp.where(p == owner, wj, W[lj, :, :c1]))
+        l0 = (j + 1) // n_dev
+        if l0 < nbl:
+            upd = jnp.einsum("lrk,kc->lrc", L_loc[l0:, :, c0:c1], wj)
+            R = R.at[l0:, :, :c1].add(
                 -jnp.where((g[l0:] > j)[:, None, None], upd, 0.0))
     return W
 
@@ -307,9 +399,17 @@ def pkinv_rowblock_local(W, l: int, n_dev: int, axis_name: str):
     and no (nbl, B, N) K^{-1} buffer is ever materialized: the caller
     consumes each row block immediately (streamed analytic gradient,
     pgp.pnll_vg_local — the shard_map analog of exact.nll_vg_streamed).
+
+    W is EXACTLY lower-triangular (pinv_rows_local builds it from zeros,
+    touching only columns < (g+1)B of global row block g), so row blocks
+    with g < l*P are zero throughout the column slice [cs, cs+PB): the
+    SYRK is sliced to local blocks >= l (g = l'*P + p >= l*P iff
+    l' >= l).  Summed over the caller's l-loop this halves the
+    contraction FLOPs — ~N^3/2P total instead of ~N^3/P — without
+    changing a bit of the output (the dropped terms are exact zeros).
     """
     nbl, B, N = W.shape
     cs = l * n_dev * B
-    part = jnp.einsum("lrc,lrn->cn", W[:, :, cs:cs + n_dev * B], W)
+    part = jnp.einsum("lrc,lrn->cn", W[l:, :, cs:cs + n_dev * B], W[l:])
     return jax.lax.psum_scatter(part, axis_name, scatter_dimension=0,
                                 tiled=True)

@@ -181,3 +181,51 @@ def test_int32_guard_wired_into_wrappers(mesh, monkeypatch):
     monkeypatch.setattr(pchol_mod, "MAX_SLAB_ELEMS", 64)
     with pytest.raises(ValueError, match="int32-safe"):
         pgp.pnll_vg(get_kernel("se_ard"), hyp, X, y, mesh, block=4)
+
+
+def test_pchol_lookahead_bitwise_matches_sequential(mesh):
+    """The one-panel lookahead pipeline applies the SAME contraction in
+    two disjoint column slices — the factor must be BITWISE equal to the
+    sequential schedule's (and both match LAPACK)."""
+    n, B = 128, 4
+    K = _spd(n, 7)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+
+    def run(look):
+        fn = _shard_rows(mesh, lambda kl: pchol.pchol_local(
+            kl.squeeze(1), NDEV, "rows", lookahead=look)[:, None])
+        return np.asarray(jax.jit(fn)(Kb))
+
+    La, Lb_ = run(True), run(False)
+    assert np.array_equal(La, Lb_), "lookahead changed the factor bits"
+    L = pchol.unblocked_layout(La)
+    np.testing.assert_allclose(L, np.linalg.cholesky(K),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_pinv_rows_matches_generic_trsm(mesh):
+    """The triangular-structure-specialized W = L^{-1} build must match
+    the generic identity-RHS ptrsm (and the dense inverse)."""
+    n, B = 64, 4
+    K = _spd(n, 11)
+    Kb = pchol.blocked_layout(jnp.asarray(K), NDEV, B)
+
+    def body(kl):
+        L = pchol.pchol_local(kl.squeeze(1), NDEV, "rows")
+        g = pchol._local_blocks(kl.shape[0], NDEV, "rows")
+        rid = g[:, None] * B + jnp.arange(B)[None, :]
+        eye_rows = (rid[:, :, None] == jnp.arange(n)[None, None, :]
+                    ).astype(kl.dtype)
+        W_ref = pchol.ptrsm_lower_local(L, eye_rows, NDEV, "rows")
+        W = pchol.pinv_rows_local(L, NDEV, "rows")
+        return W[:, None], W_ref[:, None]
+
+    fn = shard_map(body, mesh=mesh, in_specs=P(None, "rows"),
+                   out_specs=(P(None, "rows"), P(None, "rows")))
+    W, W_ref = jax.jit(fn)(Kb)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(W_ref),
+                               rtol=1e-12, atol=1e-12)
+    Wd = pchol.unblocked_layout(np.asarray(W))
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(Wd, np.linalg.inv(L_ref),
+                               rtol=1e-9, atol=1e-9)
