@@ -11,12 +11,56 @@ train() silently switches it off, as the reference does.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import jax.numpy as jnp
 import numpy as np
 
 from .base import GPBase
+
+# ---------------------------------------------------------------------------
+# N*M HBM envelope (VERDICT r3 item 6)
+#
+# The sparse objectives materialize dense (N, M) panels: Kxu, the TRSM
+# V = Luu^-1 Kux, the Gamma-weighted (Kxu^T * inv_gamma) operand, and —
+# under value_and_grad — a reverse-pass cotangent for each.  Counting the
+# forward panels (3) + their cotangents (3) + XLA scratch for the two
+# (M,N)@(N,M) GEMM operands gives ~8 live (N, M) buffers at peak; the
+# (N,) and (M, M) terms are negligible next to them.  At the proven
+# scale (N=102400, M=512, f64: 8*N*M*8 = 3.4 GB) this fits one v5e's
+# 16 GB HBM with room; the guard makes the NEXT jump (N=1M, M=512 ->
+# 33 GB estimated peak) fail loud at the wrapper instead of OOMing
+# mid-fit.  Budget default: 12 GiB usable of one v5e's 16 GB HBM,
+# overridable via GP_TPU_HBM_BYTES (e.g. for CPU-f64 runs with big RAM).
+# Remedies on trip: shard rows over a mesh (train_distributed divides
+# the panel N by the device count) or reduce M.
+# ---------------------------------------------------------------------------
+
+SPARSE_PANEL_FACTOR = 8
+
+
+def hbm_budget_bytes() -> int:
+    return int(os.environ.get("GP_TPU_HBM_BYTES", 12 * 2 ** 30))
+
+
+def check_nm_envelope(n: int, m: int, itemsize: int, n_dev: int = 1) -> None:
+    """Refuse sparse-model work whose estimated peak (N, M)-panel
+    footprint exceeds the per-device HBM budget (fail loud, not
+    OOM-mid-fit — the N*M analog of pchol.check_shard_addressable)."""
+    peak = SPARSE_PANEL_FACTOR * n * m * itemsize // max(n_dev, 1)
+    budget = hbm_budget_bytes()
+    if peak > budget:
+        max_n = budget * max(n_dev, 1) // (SPARSE_PANEL_FACTOR * m * itemsize)
+        raise ValueError(
+            f"sparse-model (N, M) working set estimate "
+            f"{peak / 2**30:.1f} GiB/device (N={n}, M={m}, "
+            f"itemsize={itemsize}, {n_dev} device(s), "
+            f"~{SPARSE_PANEL_FACTOR} live panels) exceeds the "
+            f"{budget / 2**30:.1f} GiB HBM budget; shard rows over more "
+            f"devices (train_distributed), reduce M, or raise "
+            f"GP_TPU_HBM_BYTES (max N at this M and device count: "
+            f"{max_n})")
 
 
 class SparseGPBase(GPBase):
@@ -87,11 +131,16 @@ class SparseGPBase(GPBase):
                                  ub_v, max_evals=self._MAX_EVAL)
         return fit_fn()
 
+    def _check_envelope(self, n_dev: int = 1) -> None:
+        check_nm_envelope(self.num_train, self.num_inducing,
+                          jnp.dtype(self._dtype).itemsize, n_dev)
+
     def train(self, init_hyps=None) -> float:
         if self._noise_free:
             warnings.warn(f"{type(self).__name__} can't be noise free; "
                           "disabling noise-free mode (reference behavior)")
             self._noise_free = False  # FITC.cpp:36-40: flag off, noise_lb kept
+        self._check_envelope()
         self._reset_jitter()
         self._invalidate_closures()  # cached closures capture the jitter
         return super().train(init_hyps)
@@ -110,6 +159,7 @@ class SparseGPBase(GPBase):
             _w.warn(f"{type(self).__name__} can't be noise free; "
                     "disabling noise-free mode (reference behavior)")
             self._noise_free = False
+        self._check_envelope(n_dev=mesh.shape["rows"])
         self._reset_jitter()
         self._invalidate_closures()
 
@@ -155,6 +205,7 @@ class SparseGPBase(GPBase):
             warnings.warn(f"{type(self).__name__} can't be noise free; "
                           "disabling noise-free mode (reference behavior)")
             self._noise_free = False
+        self._check_envelope()
         self._reset_jitter()
         self._invalidate_closures()
         return super().train_multistart(n_starts=n_starts, init_hyps=init_hyps)

@@ -283,3 +283,30 @@ def test_sparse_hosted_opt_routing(monkeypatch, toy_problem):
     np.testing.assert_allclose(np.asarray(b.batch_predict_y(Xs)),
                                np.asarray(a.batch_predict_y(Xs)),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_nm_envelope_guard(sparse_problem, monkeypatch):
+    """The (N, M) HBM-envelope guard (models/sparse.check_nm_envelope)
+    must fail LOUD at the wrapper before a too-big sparse fit OOMs
+    mid-train, and must scale its budget by the device count on the
+    distributed path."""
+    from gp_tpu.models import sparse as sparse_mod
+
+    X, y, U, _, _ = sparse_problem
+    m = FITC(X, y)
+    m.set_inducing(U)
+
+    # shrink the budget below this problem's estimated footprint
+    est = (sparse_mod.SPARSE_PANEL_FACTOR * m.num_train * m.num_inducing
+           * np.dtype(np.float64).itemsize)
+    monkeypatch.setenv("GP_TPU_HBM_BYTES", str(est // 2))
+    with pytest.raises(ValueError, match="HBM budget"):
+        m.train()
+    with pytest.raises(ValueError, match="HBM budget"):
+        m.train_multistart(2)
+    # enough devices divide the per-device footprint under the budget
+    sparse_mod.check_nm_envelope(m.num_train, m.num_inducing, 8, n_dev=4)
+
+    # with the real budget the same fit proceeds
+    monkeypatch.delenv("GP_TPU_HBM_BYTES")
+    assert np.isfinite(m.train())
