@@ -174,8 +174,13 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
                                data_fit=0.5 * jnp.dot(r, alpha),
                                half_logdet=0.5 * chol_logdet(L),
                                norm_const=0.5 * n * jnp.log(2 * jnp.pi))
-    Q = Kinv - alpha[:, None] * alpha[None, :]
-    g_cov_t, g_sn2 = k_vjp(Q)
+    if kernel.k_noise_vjp_q is not None:
+        # structured contraction: no N^2 Q buffer (see KernelSpec field)
+        g_cov_t, g_sn2 = kernel.k_noise_vjp_q(chyp, sn2, x, n, K, Kinv,
+                                              alpha)
+    else:
+        Q = Kinv - alpha[:, None] * alpha[None, :]
+        g_cov_t, g_sn2 = k_vjp(Q)
     g_cov = 0.5 * g_cov_t
     g_sn = sn2 * g_sn2        # = sn2 (tr(Kinv) - a^T a), via the vjp
     g_mean = -jnp.sum(alpha)
@@ -250,12 +255,18 @@ def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
            + 0.5 * (chol_logdet(L) - n_pad * log_sf2)
            + 0.5 * n * jnp.log(2 * jnp.pi))
 
-    # pad-diag zeroing folded into the Q fusion (a scatter would copy the
-    # whole N^2 buffer) — also the k_noise cotangent contract
-    pad_diag = (ids[:, None] == ids[None, :]) & (ids[:, None] >= n)
-    Q = jnp.where(pad_diag, 0.0,
-                  Kinv - alpha[:, None] * alpha[None, :])
-    g_cov_t, g_sn2 = k_vjp(Q)
+    if kernel.k_noise_vjp_q is not None:
+        # structured contraction: no N^2 Q buffer, decoy-diagonal zeroing
+        # handled by exact-zero bookkeeping (see KernelSpec field)
+        g_cov_t, g_sn2 = kernel.k_noise_vjp_q(chyp, sn2, x_cap, n, K,
+                                              Kinv, alpha)
+    else:
+        # pad-diag zeroing folded into the Q fusion (a scatter would copy
+        # the whole N^2 buffer) — also the k_noise cotangent contract
+        pad_diag = (ids[:, None] == ids[None, :]) & (ids[:, None] >= n)
+        Q = jnp.where(pad_diag, 0.0,
+                      Kinv - alpha[:, None] * alpha[None, :])
+        g_cov_t, g_sn2 = k_vjp(Q)
     g_cov = 0.5 * g_cov_t
     # d sn2/d log_sn = 2 sn2, and the 0.5 of the Q contraction:
     # g_sn = sn2 * sum_real(Q_ii) — identical to the explicit

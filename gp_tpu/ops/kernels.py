@@ -46,6 +46,13 @@ class KernelSpec(NamedTuple):
     # custom-call output costs a full N^2 pass — measured 2.3 ms at
     # N=8192 f32, ~9% of the whole objective).
     k_noise: Callable | None = None
+    # (chyp, sn2, x, n_real, K, Kinv, alpha) -> (g_chyp, g_sn2_cot):
+    # the k_noise vjp contracted against the IMPLICIT cotangent
+    # Q = Kinv - alpha alpha^T with the decoy diagonal zeroed — the exact-GP
+    # gradient's contraction (GP.cpp:151-163) — without materializing Q
+    # (an N^2 write + re-reads).  None -> callers materialize Q and use
+    # jax.vjp of k_noise.
+    k_noise_vjp_q: Callable | None = None
 
 
 def _generic_k_noise(spec_k, spec_diag_k):
@@ -64,6 +71,53 @@ def get_k_noise(spec: "KernelSpec") -> Callable:
     if spec.k_noise is not None:
         return spec.k_noise
     return _generic_k_noise(spec.k, spec.diag_k)
+
+
+def _se_noise_vjp_q(ard: bool):
+    """Structured k_noise vjp for the SE family (see KernelSpec field).
+
+    The exact-GP gradient contracts dK/dtheta against
+    Q = Kinv - alpha alpha^T (decoy diagonal zeroed).  Writing
+    E = Q o K = (Kinv o K) - (alpha alpha^T o K), every needed reduction
+    is a column of E @ [a | 1] (a = x/l, dk/dlog l_i = k (a_i-b_i)^2
+    expanded via row/col sums), and the rank-1 part contracts WITHOUT an
+    N^2 intermediate:  (alpha alpha^T o K) @ R = alpha o (K @ (alpha o R)).
+    So the whole hyp gradient costs two skinny GEMMs reading Kinv and K
+    ONCE each — no Q buffer (N^2 write + consumer re-reads; the Q fusion
+    alone measured 1.6 ms at N=8192 f32 on v5e) and no dead dx terms.
+
+    Exact-zero bookkeeping for the far-pad decoys (models/exact.
+    _nll_vg_far_padded): decoy alpha entries and K cross-blocks are exact
+    zeros by construction, so masking the decoy rows of `a` (O(n_pad d))
+    and summing row sums over the real slice reproduces the zeroed-decoy-
+    diagonal cotangent EXACTLY — no catastrophic a^2-scale cancellation
+    (decoy |a| ~ 1e8 never multiplies a nonzero residual).
+    """
+
+    def vjp_q(chyp, sn2, x, n_real: int, K, Kinv, alpha):
+        n, d = x.shape
+        inv_l = jnp.exp(-chyp[:d]) if ard else jnp.exp(-chyp[0])
+        a = x * inv_l
+        if n_real < n:
+            a = a.at[n_real:].set(0.0)
+        rhs = jnp.concatenate([a, jnp.ones((n, 1), a.dtype)], axis=1)
+        M = (Kinv * K) @ rhs - alpha[:, None] * (K @ (alpha[:, None] * rhs))
+        rs = M[:, d]                       # row sums of E (decoy rows: diag only)
+        per_dim = 2.0 * (jnp.einsum("ri,r->i", a * a, rs)
+                         - jnp.sum(a * M[:, :d], axis=0))
+        tr_r = (jnp.sum(jnp.diagonal(Kinv)[:n_real])
+                - jnp.dot(alpha[:n_real], alpha[:n_real]))
+        # dk/dlog sf = 2 k0; E uses K (noise diag): 2 sum E - 2 sn2 tr_r.
+        # Decoy rows' only nonzero is their (zeroed-cotangent) diagonal,
+        # so the real-slice row-sum total IS the zeroed-diag sum.
+        g_logsf = 2.0 * jnp.sum(rs[:n_real]) - 2.0 * sn2 * tr_r
+        if ard:
+            g_chyp = jnp.concatenate([per_dim, g_logsf[None]])
+        else:
+            g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf])
+        return g_chyp.astype(chyp.dtype), tr_r
+
+    return vjp_q
 
 
 # --------------------------------------------------------------------------
@@ -132,6 +186,7 @@ SE_ARD = KernelSpec(
     default_hyp=_seard_default_hyp,
     hyp_range=_seard_hyp_range,
     k_noise=_generic_k_noise(_seard_k, _seard_diag_k),
+    k_noise_vjp_q=_se_noise_vjp_q(True),
 )
 
 
@@ -181,6 +236,7 @@ SE_ISO = KernelSpec(
     default_hyp=_seiso_default_hyp,
     hyp_range=_seiso_hyp_range,
     k_noise=_generic_k_noise(_seiso_k, _seiso_diag_k),
+    k_noise_vjp_q=_se_noise_vjp_q(False),
 )
 
 

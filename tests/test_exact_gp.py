@@ -431,3 +431,34 @@ def test_train_start_noise_rescue(monkeypatch):
     monkeypatch.setattr(gp, "select_init_hyp", boom)
     nll = gp.train(init)
     assert np.isfinite(nll)
+
+
+def test_structured_vjp_q_matches_materialized():
+    """The structured gradient contraction (KernelSpec.k_noise_vjp_q —
+    no N^2 Q buffer) must equal the materialized-Q jax.vjp path to f64
+    roundoff, on the plain AND the far-padded (decoy) routes."""
+    from gp_tpu import SE_ARD, SE_ISO
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((90, 4)) * np.asarray([1.0, 5.0, 0.2, 2.0])
+    y = np.cos(X[:, 1]) + 0.1 * rng.standard_normal(90)
+    for kernel in (SE_ARD, SE_ISO):
+        assert kernel.k_noise_vjp_q is not None
+        ref_kernel = kernel._replace(k_noise_vjp_q=None)
+        hyp = jnp.asarray(default_hyps(kernel, X, y, 1e-3, False))
+        hyp = hyp.at[-2].set(np.log(0.07))
+        x_d, y_d = jnp.asarray(X), jnp.asarray(y)
+
+        f0, g0 = exact.nll_vg_raw(ref_kernel, hyp, x_d, y_d)
+        f1, g1 = exact.nll_vg_raw(kernel, hyp, x_d, y_d)
+        np.testing.assert_allclose(float(f1), float(f0), rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-9, atol=1e-12)
+
+        f2, g2 = exact._nll_vg_far_padded(ref_kernel, hyp, x_d, y_d, 64)
+        f3, g3 = exact._nll_vg_far_padded(kernel, hyp, x_d, y_d, 64)
+        np.testing.assert_allclose(float(f3), float(f2), rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g2),
+                                   rtol=1e-9, atol=1e-12)
