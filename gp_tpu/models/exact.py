@@ -155,8 +155,17 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
         p = blk - n % blk
         Kp = jnp.zeros((n + p, n + p), K.dtype).at[:n, :n].set(K)
         Kp = Kp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
-        L = blocked_cholesky(Kp, block=blk, zero_upper=False)
-        Kinv = spd_inv_from_chol(L)[:n, :n]
+        L, Td = blocked_cholesky(Kp, block=blk, zero_upper=False,
+                                 return_diag_inv=True)
+        Kinv = spd_inv_from_chol(L, block=blk, diag_inv=Td)[:n, :n]
+    elif chol_mod._use_blocked(n):
+        # aligned blocked path: reuse the factorization's own diagonal
+        # inverses for T = L^-1 (skips the InvertDiagBlocks re-inversion)
+        from ..ops.blocked import blocked_cholesky
+        K, k_vjp = jax.vjp(build, chyp, sn2)
+        L, Td = blocked_cholesky(K, block=blk, zero_upper=False,
+                                 return_diag_inv=True)
+        Kinv = spd_inv_from_chol(L, block=blk, diag_inv=Td)
     else:
         K, k_vjp = jax.vjp(build, chyp, sn2)
         # zero_upper=False: everything downstream (tri_inv strips, logdet
@@ -246,8 +255,9 @@ def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
     build = lambda c, s2: get_k_noise(kernel)(c, s2, x_cap, n)
     K, k_vjp = jax.vjp(build, chyp, sn2)
 
-    L = blocked_cholesky(K, block=blk, zero_upper=False)
-    Kinv = spd_inv_from_chol(L)
+    L, Td = blocked_cholesky(K, block=blk, zero_upper=False,
+                             return_diag_inv=True)
+    Kinv = spd_inv_from_chol(L, block=blk, diag_inv=Td)
     r = jnp.where(real, jnp.concatenate([y, jnp.zeros(n_pad, y.dtype)])
                   - mean, 0.0)
     alpha = Kinv @ r
@@ -257,7 +267,11 @@ def _nll_vg_far_padded(kernel: KernelSpec, hyp, x, y, blk: int):
 
     if kernel.k_noise_vjp_q is not None:
         # structured contraction: no N^2 Q buffer, decoy-diagonal zeroing
-        # handled by exact-zero bookkeeping (see KernelSpec field)
+        # handled by exact-zero bookkeeping (see KernelSpec field).
+        # K staying live for this read costs one defensive full-matrix
+        # copy before the in-place factorization (0.8 ms at N=8192 f32);
+        # a second build for the backward gets CSE'd back into one call
+        # (measured: identical trace), so the copy is the honest price.
         g_cov_t, g_sn2 = kernel.k_noise_vjp_q(chyp, sn2, x_cap, n, K,
                                               Kinv, alpha)
     else:

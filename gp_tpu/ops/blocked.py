@@ -89,7 +89,7 @@ def _chol_inv_block(Kb, block: int, base_block: int, base_fn,
 
 def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
                      panel_inv: bool = True, zero_upper: bool = True,
-                     base_fn=None):
+                     base_fn=None, return_diag_inv: bool = False):
     """Lower Cholesky factor of K (n x n), right-looking with block panels.
 
     The diagonal BxB factorization recurses down to `base_block` before
@@ -112,10 +112,22 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
     base_fn overrides the BxB diagonal-block factorization (default stock
     jnp.linalg.cholesky) — e.g. the Pallas micro-panel kernel
     (ops/pallas_chol.pallas_cholesky_panel).
+
+    return_diag_inv=True additionally returns the per-panel diagonal-block
+    inverses Td (nb, block, block) the factorization computes anyway for
+    its panel GEMMs (incl. the last panel's, which it would otherwise
+    skip) — tri_inv_from_diag / spd_inv_from_chol reuse them instead of
+    re-inverting the diagonal (one InvertDiagBlocks custom-call, 0.65 ms
+    at N=8192 f32 on v5e).  Aligned sizes only (n % block == 0).
     """
     n = K.shape[0]
+    if return_diag_inv:
+        assert n % block == 0, "return_diag_inv requires aligned n"
     if n <= base_block or block % base_block:
-        return (base_fn or jnp.linalg.cholesky)(K)
+        L = (base_fn or jnp.linalg.cholesky)(K)
+        # stock fallback has no panel structure: callers get Td=None and
+        # must fall back to tri_inv
+        return (L, None) if return_diag_inv else L
     if n % block:
         # pad to blockdiag(K, I): the factor is blockdiag(L, I), slice back
         p = block - n % block
@@ -137,6 +149,7 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
     # still "K leftovers" as documented, consumers read only the lower
     # triangle either way.
     L = K.T
+    diag_invs = []
     for j in range(nb):
         c0, c1 = j * block, (j + 1) * block
         # fused diagonal factor+inverse: the recursion's sub-inverses are
@@ -145,7 +158,10 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
         # _chol_inv_block; A/B'd on chip, BASELINE.md round 4)
         Ljj, Tjj = _chol_inv_block(L[c0:c1, c0:c1], block, base_block,
                                    base_fn,
-                                   need_inv=panel_inv and c1 < n)
+                                   need_inv=return_diag_inv
+                                   or (panel_inv and c1 < n))
+        if return_diag_inv:
+            diag_invs.append(Tjj)
         L = L.at[c0:c1, c0:c1].set(jnp.tril(Ljj))
         if c1 < n:
             if panel_inv:
@@ -160,6 +176,8 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
                 # N=51200 f32 — measured OOM); these DUS writes alias L
                 L = L.at[c0:c1, c1:].set(
                     jnp.zeros((block, n - c1), L.dtype))
+    if return_diag_inv:
+        return L, jnp.stack(diag_invs)
     return L
 
 
@@ -310,7 +328,27 @@ def tri_inv(L, base: int = 512, cutoff: int = 2048):
     return T
 
 
-def spd_inv_from_chol(L, block: int = 1024, base: int = 512):
+def tri_inv_from_diag(L, Td, block: int, cutoff: int = 2048):
+    """L^{-1} given the per-panel diagonal-block inverses Td
+    (nb, block, block) that blocked_cholesky(return_diag_inv=True)
+    computed anyway — tri_inv's strip forward-substitution with its
+    batched diagonal inversion (an InvertDiagBlocks custom-call, 0.65 ms
+    at N=8192 f32 on v5e) deleted, and fewer/wider strips (the panel
+    width, not tri_inv's smaller base)."""
+    n = L.shape[0]
+    nb = n // block
+    assert nb * block == n and Td.shape == (nb, block, block)
+    T = jnp.zeros((n, n), L.dtype).at[:block, :block].set(Td[0])
+    for k in range(1, nb):
+        c0, c1 = k * block, (k + 1) * block
+        S = lt_matmul(L[c0:c1, :c0], T[:c0, :c0], cutoff)
+        T = T.at[c0:c1, :c0].set(-(Td[k] @ S))
+        T = T.at[c0:c1, c0:c1].set(Td[k])
+    return T
+
+
+def spd_inv_from_chol(L, block: int = 1024, base: int = 512,
+                      diag_inv=None):
     """K^-1 from K = L L^T as T^T T with T = L^-1 (GEMM-rich dpotri analog).
 
     lauum-style symmetric product: K^-1 is symmetric, so only its block
@@ -321,6 +359,10 @@ def spd_inv_from_chol(L, block: int = 1024, base: int = 512):
     full-column sweep it replaces.  Replaces `chol_solve(L, I)` (two
     latency-bound triangular sweeps with N right-hand sides) in the
     analytic-gradient path (GP.cpp:154: `inverse()`).
+
+    diag_inv: per-panel diagonal-block inverses from
+    blocked_cholesky(return_diag_inv=True) — skips tri_inv's diagonal
+    re-inversion (see tri_inv_from_diag).  Aligned n only.
     """
     n = L.shape[0]
     if n < block:
@@ -333,7 +375,8 @@ def spd_inv_from_chol(L, block: int = 1024, base: int = 512):
         Lp = Lp.at[:n, :n].set(L)
         Lp = Lp.at[jnp.arange(n, n + p), jnp.arange(n, n + p)].set(1.0)
         return spd_inv_from_chol(Lp, block, base)[:n, :n]
-    T = tri_inv(L, base)
+    T = (tri_inv_from_diag(L, diag_inv, block) if diag_inv is not None
+         else tri_inv(L, base))
     nb = n // block
     A = jnp.zeros((n, n), L.dtype)
     for i in range(nb):

@@ -137,3 +137,35 @@ def test_autodiff_through_blocked_cholesky():
         lambda s: nll_like(s, jnp.linalg.cholesky))(0.3)
     np.testing.assert_allclose(float(f1), float(f2), rtol=1e-10)
     np.testing.assert_allclose(float(g1), float(g2), rtol=1e-8)
+
+
+def test_return_diag_inv_and_tri_inv_from_diag():
+    """blocked_cholesky(return_diag_inv=True) hands back the per-panel
+    diagonal inverses; tri_inv_from_diag / spd_inv_from_chol(diag_inv=..)
+    must match the standalone tri_inv / lauum results."""
+    from gp_tpu.ops.blocked import (blocked_cholesky, spd_inv_from_chol,
+                                    tri_inv, tri_inv_from_diag)
+
+    rng = np.random.default_rng(8)
+    n, blk = 512, 128
+    A = rng.standard_normal((n, n))
+    K = A @ A.T + n * np.eye(n)
+    L, Td = blocked_cholesky(jnp.asarray(K), block=blk, base_block=64,
+                             zero_upper=False, return_diag_inv=True)
+    assert Td.shape == (n // blk, blk, blk)
+    Lref = np.linalg.cholesky(K)
+    for k in range(n // blk):
+        s = slice(k * blk, (k + 1) * blk)
+        np.testing.assert_allclose(np.asarray(Td[k]),
+                                   np.linalg.inv(Lref[s, s]),
+                                   rtol=1e-9, atol=1e-9)
+    T = tri_inv_from_diag(L, Td, blk)
+    np.testing.assert_allclose(np.asarray(T), np.linalg.inv(Lref),
+                               rtol=1e-8, atol=1e-9)
+    Kinv = spd_inv_from_chol(L, block=blk, diag_inv=Td)
+    np.testing.assert_allclose(np.asarray(Kinv), np.linalg.inv(K),
+                               rtol=1e-8, atol=1e-9)
+    # stock fallback (block % base != 0) reports no panel structure
+    L2, Td2 = blocked_cholesky(jnp.asarray(K), block=128, base_block=96,
+                               return_diag_inv=True)
+    assert Td2 is None
