@@ -37,8 +37,9 @@ REF_DATA = "/root/reference/data"
 # Full suite = no -m flag.  Module lists kept here so new test files are
 # tiered in one place.
 _DIST_MODULES = {
-    "test_pchol", "test_pgp", "test_pfit_multistart", "test_psparse",
-    "test_multihost", "test_checkpoint", "test_watchdog_routing",
+    "test_pchol", "test_pchol2d", "test_pgp", "test_pfit_multistart",
+    "test_psparse", "test_multihost", "test_checkpoint",
+    "test_watchdog_routing",
 }
 _GOLDEN_MODULES = {
     "test_golden", "test_golden_sparse", "test_golden_tpu_fits",

@@ -1,0 +1,107 @@
+"""2-D block-cyclic distributed Cholesky (parallel/pchol2d.py): factor /
+logdet / solve parity vs LAPACK and the fused NLL vs the single-device
+objective, on 2x4 and 4x2 virtual grids."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gp_tpu.parallel import pchol2d
+
+shard_map = jax.shard_map
+
+PR, PC = 2, 4
+
+
+def _mesh(pr=PR, pc=PC):
+    devs = np.asarray(jax.devices("cpu")[:pr * pc]).reshape(pr, pc)
+    return Mesh(devs, (pchol2d.AXR, pchol2d.AXC))
+
+
+def _spd(n, seed):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+@pytest.mark.parametrize("pr,pc", [(2, 4), (4, 2)])
+def test_pchol2d_matches_lapack(pr, pc):
+    n, B = 64, 8
+    K = _spd(n, 3)
+    Kb = pchol2d.blocked_layout_2d(jnp.asarray(K), pr, pc, B)
+    mesh = _mesh(pr, pc)
+    fn = shard_map(lambda kl: pchol2d.pchol2d_local(kl[0, 0], pr, pc)[None, None],
+                   mesh=mesh,
+                   in_specs=P(pchol2d.AXR, pchol2d.AXC),
+                   out_specs=P(pchol2d.AXR, pchol2d.AXC))
+    Lb = jax.jit(fn)(Kb)
+    L = np.tril(pchol2d.unblocked_layout_2d(Lb))
+    np.testing.assert_allclose(L, np.linalg.cholesky(K),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_pchol2d_logdet_and_solves():
+    n, B = 64, 8
+    K = _spd(n, 5)
+    rhs = np.random.default_rng(7).standard_normal(n)
+    Kb = pchol2d.blocked_layout_2d(jnp.asarray(K), PR, PC, B)
+    mesh = _mesh()
+
+    def body(kl, r):
+        L = pchol2d.pchol2d_local(kl[0, 0], PR, PC)
+        ld = pchol2d.plogdet2d_local(L, PR, PC)
+        w = pchol2d.psolve2d_lower_local(L, r, PR, PC)
+        x = pchol2d.psolve2d_lower_t_local(L, w, PR, PC)
+        return ld, w, x
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(pchol2d.AXR, pchol2d.AXC), P()),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    ld, w, x = jax.jit(fn)(Kb, jnp.asarray(rhs))
+    Lr = np.linalg.cholesky(K)
+    np.testing.assert_allclose(float(ld), 2 * np.sum(np.log(np.diag(Lr))),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w),
+                               np.linalg.solve(Lr, rhs), rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x),
+                               np.linalg.solve(K, rhs), rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_pnll2d_matches_single_device():
+    """Fused 2-D NLL == the single-device objective (padded rows included)."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+    from gp_tpu.ops.kernels import get_kernel
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(0)
+    n, d = 100, 3                        # pads to the lcm block multiple
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(n)
+    hyp = jnp.asarray(default_hyps(SE, X, y, 1e-3, False))
+    mesh = _mesh()
+    f2d = pchol2d.pnll2d(SE, hyp, X, y, mesh, block=4)
+    f1 = exact.nll(SE, hyp, jnp.asarray(X), jnp.asarray(y))
+    np.testing.assert_allclose(float(f2d), float(f1), rtol=1e-10)
+
+
+def test_pnll2d_inf_on_non_spd():
+    """A hyp vector driving K indefinite must sanitize to INF, matching
+    the 1-D and single-device INF-objective semantics (GP.cpp:147-148)."""
+    from gp_tpu.config import INF
+    from gp_tpu.models.base import default_hyps
+    from gp_tpu.ops.kernels import get_kernel
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-2, 2, (64, 2))
+    y = rng.standard_normal(64)
+    hyp = np.asarray(default_hyps(SE, X, y, 1e-3, False))
+    hyp[-2] = np.log(1e-300)             # sn2 = 0: K loses strict PD in f64
+    hyp[0] = hyp[1] = 10.0               # huge length scales: K ~ rank-1
+    f = pchol2d.pnll2d(SE, jnp.asarray(hyp), X, y, _mesh(), block=4)
+    assert float(f) == INF
