@@ -26,10 +26,14 @@ global index is still <= k carry exact zeros in the broadcast panels, so
 they contribute nothing (same FLOP accounting as the 1-D rectangle
 update).
 
-Scope (round 4): factorization + logdet + forward/back solves + the
-fused distributed NLL *value* (pnll2d).  The analytic gradient keeps the
-1-D layout (pgp.pnll_vg) — its W-build/SYRK streaming is specific to
-row-sharded storage; the 2-D gradient is the recorded next step.
+Scope (round 4): the FULL training evaluation — factorization, logdet,
+solves, W = L^{-1} (pinv2d), K^{-1} tiles (SUMMA pkinv2d), the analytic
+NLL+gradient (pnll_vg2d), and a hosted bounded fit (pfit2d_hosted).
+FLOP tradeoff vs the 1-D layout: the SUMMA W^T W cannot statically
+slice away block-upper tiles (the triangle boundary depends on the
+traced grid coordinates), so the gradient costs ~1.33x the 1-D
+streamed-SYRK FLOPs — bought: ~6x less DCN per full evaluation
+(BASELINE.md round-4 comm model).
 
 Reference semantics match MatrixSolverLLT (MatrixSolver.cpp:6-28) +
 GP::_calcNegLogProb (GP.cpp:120-148): NaN from a non-SPD pivot
@@ -47,7 +51,8 @@ import numpy as np
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.base import hyp_mean, hyp_sn2, sanitize_value_and_grad
+from ..models.base import (from_opt_vec, hyp_mean, hyp_sn2,
+                           sanitize_value_and_grad)
 from ..ops.kernels import KernelSpec
 from . import pchol
 
@@ -241,6 +246,62 @@ def _build_k_local(kernel: KernelSpec, hyp, x_pad, n_real: int,
             row_ids, col_ids)
 
 
+def pnll_vg2d_local(kernel: KernelSpec, hyp, x_pad, y_pad, n_real: int,
+                    pr: int, pc: int, block: int):
+    """(NLL, dNLL/dhyp) on the 2-D grid; both psum-replicated.
+
+    The analytic assembly mirrors pgp.pnll_vg_local (GP.cpp:151-171):
+    Q tiles = K^{-1} tiles - alpha_i alpha_j^T, contracted against a
+    per-device rebuild of its OWN K tiles via vjp (no collectives inside
+    the vjp).  K^{-1} tiles come from pinv2d + the SUMMA pkinv2d — the
+    ~33% extra gradient FLOPs vs the 1-D streamed layout buy the 4x DCN
+    cut (module docstring; BASELINE.md round-4 comm model).
+    """
+    N_pad = x_pad.shape[0]
+    nb = N_pad // block
+    nbr, nbc = nb // pr, nb // pc
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    sn2 = hyp_sn2(hyp)
+
+    K_loc, row_ids, col_ids = _build_k_local(kernel, hyp, x_pad, n_real,
+                                             pr, pc, block)
+    L_loc = pchol2d_local(K_loc, pr, pc)
+    r_full = jnp.where(jnp.arange(N_pad) < n_real,
+                       y_pad - hyp_mean(hyp), 0.0)
+    w = psolve2d_lower_local(L_loc, r_full, pr, pc)
+    nll = (0.5 * jnp.dot(w, w) + 0.5 * plogdet2d_local(L_loc, pr, pc)
+           + 0.5 * n_real * jnp.log(2 * jnp.pi))
+
+    alpha = psolve2d_lower_t_local(L_loc, w, pr, pc)     # replicated (N,)
+    W_loc = pinv2d_local(L_loc, pr, pc)
+    Kinv_loc = pkinv2d_local(W_loc, pr, pc)              # full tiles
+
+    a_i = alpha[row_ids]                                 # (nbr*B,)
+    a_j = alpha[col_ids]                                 # (nbc*B,)
+    real_i = row_ids < n_real
+    real_j = col_ids < n_real
+    Q = (Kinv_loc.transpose(0, 2, 1, 3).reshape(nbr * block, nbc * block)
+         - a_i[:, None] * a_j[None, :])
+    # padded rows/cols are constants of the builder: zero cotangent
+    Q = jnp.where(real_i[:, None] & real_j[None, :], Q, 0.0)
+
+    x_i = x_pad[row_ids]
+    x_j = x_pad[col_ids]
+    _, vjp = jax.vjp(lambda ch: kernel.k(ch, x_i, x_j), chyp)
+    g_cov = 0.5 * jax.lax.psum(jax.lax.psum(vjp(Q)[0], AXR), AXC)
+
+    # tr(Q) over the real diagonal: this device's diagonal entries are
+    # where a row id equals a col id
+    on_diag = (row_ids[:, None] == col_ids[None, :]) & real_i[:, None]
+    tr_loc = jnp.sum(jnp.where(on_diag, Q, 0.0))
+    g_sn = sn2 * jax.lax.psum(jax.lax.psum(tr_loc, AXR), AXC)
+    g_mean = -jnp.sum(jnp.where(jnp.arange(N_pad) < n_real, alpha, 0.0))
+
+    grad = jnp.concatenate([g_cov, jnp.array([g_sn, g_mean], hyp.dtype)])
+    return nll, grad
+
+
 def pnll2d_local(kernel: KernelSpec, hyp, x_pad, y_pad, n_real: int,
                  pr: int, pc: int, block: int):
     """Distributed NLL value on the 2-D layout (GP.cpp:120-148 semantics;
@@ -254,6 +315,100 @@ def pnll2d_local(kernel: KernelSpec, hyp, x_pad, y_pad, n_real: int,
     logdet = plogdet2d_local(L_loc, pr, pc)
     return (data_fit + 0.5 * logdet
             + 0.5 * n_real * jnp.log(2 * jnp.pi))
+
+
+def pinv2d_local(L_loc, pr: int, pc: int):
+    """W = L^{-1} on the 2-D grid (identity-RHS forward TRSM).
+
+    Row-block forward substitution (the grid analog of
+    pchol.pinv_rows_local): at panel k the running RHS's row k is already
+    local to grid row k%Pr (spread over columns), so the TRSM itself
+    needs no gather — only the update's two operands are broadcast, with
+    the same row/col pattern (and the same DCN accounting) as the
+    factorization.  W's triangularity is exploited via the static
+    conservative column bound (blocks j > k are exact zeros): ~N^3/3P
+    update FLOPs.
+    """
+    nbr, nbc, B = L_loc.shape[0], L_loc.shape[1], L_loc.shape[2]
+    nb = nbr * pr
+    r, c, gi, gj = _grid_ids(nbr, nbc, pr, pc)
+
+    W = jnp.zeros_like(L_loc)
+    # running RHS: identity blocks; R[i, j] only ever nonzero for j <= i
+    eye = jnp.eye(B, dtype=L_loc.dtype)
+    R = jnp.where((gi[:, None] == gj[None, :])[:, :, None, None],
+                  eye[None, None], 0.0)
+    for k in range(nb):                                  # static unroll
+        orow, oc = k % pr, k % pc
+        li = k // pr
+        lj_end = k // pc + 1                             # cols with gj <= k
+        # 1. TRSM row k against replicated Lkk (local on grid row orow)
+        Lkk = _replicate_from(L_loc[li, k // pc], orow, oc, r, c)
+        Rrow = R[li, :lj_end]                            # (lj_end, B, B)
+        wk = solve_triangular(
+            jnp.tril(Lkk), Rrow.transpose(1, 0, 2).reshape(B, -1),
+            lower=True).reshape(B, lj_end, B).transpose(1, 0, 2)
+        wk = jnp.where(((gj[:lj_end] <= k) & (r == orow))[:, None, None],
+                       wk, 0.0)
+        W = W.at[li, :lj_end].set(
+            jnp.where(r == orow, wk, W[li, :lj_end]))
+
+        # 2. broadcasts for the update R[i, j] -= L[i, k] wk[j]:
+        #    L[i, k] for MY rows (row-broadcast from grid column oc)
+        Lcol = jnp.where(((gi > k) & (c == oc))[:, None, None],
+                         L_loc[:, k // pc], 0.0)
+        Lrow_b = jax.lax.psum(Lcol, AXC)                 # (nbr, B, B)
+        #    wk[j] for MY cols (col-broadcast from grid row orow)
+        wcol_b = jax.lax.psum(
+            jnp.where(r == orow, wk, jnp.zeros_like(wk)), AXR)
+
+        li0 = (k + 1) // pr
+        if li0 < nbr:
+            upd = jnp.einsum("iab,jbc->ijac", Lrow_b[li0:], wcol_b)
+            R = R.at[li0:, :lj_end].add(-upd)
+    return W
+
+
+def pkinv2d_local(W_loc, pr: int, pc: int):
+    """K^{-1} tiles = (W^T W) on the grid, SUMMA over W's block rows.
+
+    Per step k, W's row k is delivered in two hops: a col-broadcast from
+    grid row k%Pr (each device gets its grid-COLUMN subset — the right
+    operand, and the only DCN-crossing hop when "rowg" spans hosts) and
+    an intra-grid-row redistribution (psum over "colg") that converts it
+    to the grid-ROW subset (the left operand).  Triangularity: W[k, i]
+    is exactly zero for i > k, so the accumulation slices to the static
+    conservative corner — ~2N^3/3P FLOPs (vs N^3/2P for the 1-D
+    streamed SYRK: the 2-D layout trades ~33% more gradient FLOPs for
+    the 4x DCN cut; BASELINE.md round 4).
+    """
+    nbr, nbc, B = W_loc.shape[0], W_loc.shape[1], W_loc.shape[2]
+    nb = nbr * pr
+    r, c, gi, gj = _grid_ids(nbr, nbc, pr, pc)
+
+    Kinv = jnp.zeros_like(W_loc)
+    for k in range(nb):                                  # static unroll
+        orow = k % pr
+        li = k // pr
+        lj_end = k // pc + 1
+        # hop 1: W[k, j] for MY grid-column ids (j <= k) — psum over AXR
+        wrow = jnp.where(((gj[:lj_end] <= k) & (r == orow))[:, None, None],
+                         W_loc[li, :lj_end], 0.0)
+        wj = jax.lax.psum(wrow, AXR)                     # (lj_end, B, B)
+        # hop 2: convert to MY grid-ROW ids via in-row redistribution.
+        # target slot m: global i_m = m*pr + r, needed for i_m <= k;
+        # source column holds it at slot (i_m - c)/pc iff i_m ≡ c (mod pc)
+        li_end = k // pr + 1
+        im = gi[:li_end]                                 # (li_end,)
+        src = jnp.clip((im - c) // pc, 0, lj_end - 1)
+        have = ((im % pc) == c) & (im <= k)
+        cand = jnp.take(wj, src, axis=0)                 # (li_end, B, B)
+        wi = jax.lax.psum(
+            jnp.where(have[:, None, None], cand, 0.0), AXC)
+        # accumulate tiles [i, j] += W[k,i]^T W[k,j] on the static corner
+        upd = jnp.einsum("iab,jac->ijbc", wi, wj)
+        Kinv = Kinv.at[:li_end, :lj_end].add(upd)
+    return Kinv
 
 
 # --------------------------------------------------------------------------
@@ -277,6 +432,61 @@ def _pnll2d_program(kernel, hyp, x_pad, y_pad, n_real, pr, pc, block, mesh):
                                         block)
     return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
                      out_specs=P(), check_vma=False)(hyp, x_pad, y_pad)
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_real", "pr", "pc", "block",
+                                   "mesh"))
+def _pnll_vg2d_program(kernel, hyp, x_pad, y_pad, n_real, pr, pc, block,
+                       mesh):
+    body = lambda h, x, y: pnll_vg2d_local(kernel, h, x, y, n_real, pr,
+                                           pc, block)
+    return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                     out_specs=(P(), P()), check_vma=False)(hyp, x_pad,
+                                                            y_pad)
+
+
+def pnll_vg2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh,
+              block: int | None = None):
+    """Distributed (NLL, grad) on the 2-D grid; INF-sanitized — the
+    full training-step evaluation on the DCN-lean layout (pgp.pnll_vg's
+    grid twin)."""
+    pr, pc = mesh.shape[AXR], mesh.shape[AXC]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], pr * pc)
+    x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), pr, pc, block)
+    f, g = _pnll_vg2d_program(kernel, jnp.asarray(hyp, x_pad.dtype),
+                              x_pad, y_pad, n, pr, pc, block, mesh)
+    return sanitize_value_and_grad(f, g)
+
+
+def pfit2d_hosted(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+                  mesh: Mesh, block: int | None = None,
+                  max_evals: int = 160):
+    """Bounded MLE fit on the 2-D grid, L-BFGS-B driven from the host —
+    each evaluation is ONE grid program (pnll_vg2d).  The hosted loop is
+    the right default at the multi-host scale this layout targets (the
+    same ~60-100 s single-execution watchdog argument as
+    pgp.pfit_hosted; evaluations are seconds each there anyway).
+
+    Float32 note: pass STANDARDIZED targets, as with pgp.pfit.
+    """
+    from ..optim.lbfgsb import lbfgsb_hosted
+
+    pr, pc = mesh.shape[AXR], mesh.shape[AXC]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], pr * pc)
+    x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), pr, pc, block)
+    dt = x_pad.dtype
+
+    def fun(v):
+        hyp = from_opt_vec(v, noise_free)
+        f, g = _pnll_vg2d_program(kernel, hyp, x_pad, y_pad, n, pr, pc,
+                                  block, mesh)
+        gv = jnp.concatenate([g[:-2], g[-1:]]) if noise_free else g
+        return sanitize_value_and_grad(f, gv)
+
+    return lbfgsb_hosted(fun, jnp.asarray(vec0, dt), jnp.asarray(lb, dt),
+                         jnp.asarray(ub, dt), max_evals=max_evals)
 
 
 def pnll2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None):

@@ -105,3 +105,92 @@ def test_pnll2d_inf_on_non_spd():
     hyp[0] = hyp[1] = 10.0               # huge length scales: K ~ rank-1
     f = pchol2d.pnll2d(SE, jnp.asarray(hyp), X, y, _mesh(), block=4)
     assert float(f) == INF
+
+
+def test_pinv2d_and_pkinv2d_match_numpy():
+    """W = L^-1 and the SUMMA K^-1 tiles on the grid vs dense numpy."""
+    n, B = 64, 8
+    K = _spd(n, 9)
+    Kb = pchol2d.blocked_layout_2d(jnp.asarray(K), PR, PC, B)
+    mesh = _mesh()
+
+    def body(kl):
+        L = pchol2d.pchol2d_local(kl[0, 0], PR, PC)
+        W = pchol2d.pinv2d_local(L, PR, PC)
+        Ki = pchol2d.pkinv2d_local(W, PR, PC)
+        return W[None, None], Ki[None, None]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=P(pchol2d.AXR, pchol2d.AXC),
+                   out_specs=(P(pchol2d.AXR, pchol2d.AXC),
+                              P(pchol2d.AXR, pchol2d.AXC)),
+                   check_vma=False)
+    Wb, Kib = jax.jit(fn)(Kb)
+    W = pchol2d.unblocked_layout_2d(Wb)
+    Ki = pchol2d.unblocked_layout_2d(Kib)
+    Lr = np.linalg.cholesky(K)
+    np.testing.assert_allclose(W, np.linalg.inv(Lr), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(Ki, np.linalg.inv(K), rtol=1e-8, atol=1e-9)
+
+
+def test_pnll_vg2d_matches_single_device_and_1d():
+    """The grid (NLL, grad) == the single-device objective AND the 1-D
+    distributed gradient (pgp.pnll_vg), padded rows included."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+    from gp_tpu.ops.kernels import get_kernel
+    from gp_tpu.parallel import pgp
+    from gp_tpu.parallel.mesh import make_mesh
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(4)
+    n, d = 100, 3
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(n)
+    hyp = jnp.asarray(default_hyps(SE, X, y, 1e-3, False))
+    hyp = hyp.at[-2].set(np.log(0.1))
+
+    f2, g2 = pchol2d.pnll_vg2d(SE, hyp, X, y, _mesh(), block=4)
+    f0, g0 = exact.nll_vg_raw(SE, hyp, jnp.asarray(X), jnp.asarray(y))
+    np.testing.assert_allclose(float(f2), float(f0), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
+                               rtol=1e-8, atol=1e-10)
+
+    mesh1 = make_mesh(8, axis_name="rows")
+    f1, g1 = pgp.pnll_vg(SE, hyp, X, y, mesh1, block=4)
+    np.testing.assert_allclose(float(f2), float(f1), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_pfit2d_hosted_matches_single_device_fit():
+    """The hosted 2-D fit reaches the single-device optimizer's basin."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps, hyp_range, to_opt_vec
+    from gp_tpu.ops.kernels import get_kernel
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(6)
+    n, d = 96, 2
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(2 * X[:, 0]) * np.cos(X[:, 1]) + 0.05 * rng.standard_normal(n)
+    hyp0 = jnp.asarray(default_hyps(SE, X, y, 1e-3, False))
+    lb, ub = hyp_range(SE, X, y, noise_lb=1e-3)
+    lb_v = jnp.asarray(to_opt_vec(jnp.asarray(lb), False))
+    ub_v = jnp.asarray(to_opt_vec(jnp.asarray(ub), False))
+    vec0 = jnp.clip(jnp.asarray(to_opt_vec(hyp0, False)), lb_v, ub_v)
+
+    res2 = pchol2d.pfit2d_hosted(SE, False, X, y, vec0, lb_v, ub_v,
+                                 _mesh(), block=4, max_evals=60)
+    res1 = exact.fit(SE, False, jnp.asarray(X), jnp.asarray(y), vec0,
+                     lb_v, ub_v, max_evals=60)
+    # optimizer paths diverge on rounding within a 60-eval budget (three
+    # drivers, three stopping points observed) — demand basin-level
+    # quality, not a path pin: the 2-D fit must improve materially from
+    # the start and land at least as low as the jitted single-device fit
+    # (within a small band).  Evaluation-level parity is pinned
+    # separately by test_pnll_vg2d_matches_single_device_and_1d.
+    f0, _ = pchol2d.pnll_vg2d(SE, hyp0, X, y, _mesh(), block=4)
+    assert np.isfinite(float(res2.f))
+    assert float(res2.f) < float(f0) - 5.0, "no material improvement"
+    assert float(res2.f) <= float(res1.f) + 0.5
