@@ -1123,9 +1123,22 @@ class GP(GPBase):
         axis "rows": distributed blocked Cholesky + analytic psum gradient
         (parallel/pgp.py), optimized in the standardized space like
         train().  The posterior cache stays SHARDED (each chip holds its
-        row blocks of L), and the predict APIs serve from it."""
+        row blocks of L), and the predict APIs serve from it.
+
+        A 2-D ("rowg", "colg") = (hosts, chips/host) mesh routes the FIT
+        through the DCN-lean grid layout (parallel/pchol2d.pfit2d_hosted,
+        ~6x less host-crossing traffic per evaluation — BASELINE.md
+        round-4 comm model); the one-time posterior cache then builds on
+        the flattened 1-D mesh so every serving/checkpoint path works
+        unchanged."""
         from ..parallel import pgp
         from .base import to_opt_vec
+
+        mesh_grid = None
+        if {"rowg", "colg"} <= set(mesh.axis_names):
+            from jax.sharding import Mesh as _Mesh
+            mesh_grid = mesh
+            mesh = _Mesh(np.asarray(mesh.devices).reshape(-1), ("rows",))
 
         if init_hyps is None:
             init_hyps = self.get_default_hyps()
@@ -1150,14 +1163,23 @@ class GP(GPBase):
         # single-execution kill; drive the optimizer from the host with
         # one distributed program per evaluation instead
         n = self.num_train
-        fit_fn = (pgp.pfit_hosted
-                  if n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
-                  else pgp.pfit)
-        res = fit_fn(self.kernel, self._noise_free, self._x, self._ys,
-                     jnp.asarray(vec0, self._dtype),
-                     jnp.asarray(lb_v, self._dtype),
-                     jnp.asarray(ub_v, self._dtype),
-                     mesh, block=block, max_evals=self._MAX_EVAL)
+        if mesh_grid is not None:
+            from ..parallel import pchol2d
+            res = pchol2d.pfit2d_hosted(
+                self.kernel, self._noise_free, self._x, self._ys,
+                jnp.asarray(vec0, self._dtype),
+                jnp.asarray(lb_v, self._dtype),
+                jnp.asarray(ub_v, self._dtype),
+                mesh_grid, max_evals=self._MAX_EVAL)
+        else:
+            fit_fn = (pgp.pfit_hosted
+                      if n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
+                      else pgp.pfit)
+            res = fit_fn(self.kernel, self._noise_free, self._x, self._ys,
+                         jnp.asarray(vec0, self._dtype),
+                         jnp.asarray(lb_v, self._dtype),
+                         jnp.asarray(ub_v, self._dtype),
+                         mesh, block=block, max_evals=self._MAX_EVAL)
         self.last_opt_result = res._replace(
             f=res.f + self.num_train * float(np.log(self._y_sigma)))
         self._hyps = jnp.asarray(self._hyp_from_std(

@@ -194,3 +194,27 @@ def test_pfit2d_hosted_matches_single_device_fit():
     assert np.isfinite(float(res2.f))
     assert float(res2.f) < float(f0) - 5.0, "no material improvement"
     assert float(res2.f) <= float(res1.f) + 0.5
+
+
+def test_train_distributed_routes_grid_mesh():
+    """GP.train_distributed on a ("rowg", "colg") mesh fits on the grid
+    and serves from the flattened 1-D posterior — same basin and
+    predictions as the 1-D route."""
+    from gp_tpu import GP
+    from gp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(12)
+    n, d = 96, 2
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(2 * X[:, 0]) + 0.05 * rng.standard_normal(n)
+    Xs = rng.uniform(-2, 2, (12, d))
+
+    a = GP(X, y)
+    nll_a = a.train_distributed(make_mesh(8, axis_name="rows"), block=4)
+    b = GP(X, y)
+    nll_b = b.train_distributed(_mesh(), block=4)
+    np.testing.assert_allclose(nll_b, nll_a, rtol=1e-5)
+    mu_a, s2_a = a.batch_predict(Xs)
+    mu_b, s2_b = b.batch_predict(Xs)
+    np.testing.assert_allclose(mu_b, mu_a, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s2_b, s2_a, rtol=1e-4, atol=1e-8)
