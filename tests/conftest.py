@@ -20,7 +20,12 @@ os.environ["XLA_FLAGS"] = (
 # within-process benefit (jit's in-memory cache already dedups).  A
 # full-suite segfault inside backend_compile_and_load was observed with
 # the shared cache enabled (2026-08-20); tests must be hermetic.
-os.environ["GP_TPU_COMPILE_CACHE"] = "0"
+# EXCEPTION: the opt-in GP_TPU_SLOW_TESTS tier evaluates stream-scale
+# (N=51200) programs whose XLA:CPU compile alone takes tens of minutes —
+# those runs keep the cache (measured: the oracle pin never finished a
+# 50-minute budget cold, ~18 min warm).
+if not os.environ.get("GP_TPU_SLOW_TESTS"):
+    os.environ["GP_TPU_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
 

@@ -88,7 +88,7 @@ def test_tpu_fit_n51200_records_quality():
 
 
 @pytest.mark.skipif(not os.environ.get("GP_TPU_SLOW_TESTS"),
-                    reason="N=51200 f64 oracle evaluation (~18 min CPU)")
+                    reason="N=51200 f64 oracle evaluation (~18-60 min CPU, BLAS-dependent)")
 def test_tpu_fit_n51200_warm_record_oracle():
     """Full oracle pin (the BASELINE 'NLL within 1e-4 at N=50k' target):
     library-f64 == recorded oracle-f64 at the recorded hyps, and the
