@@ -47,6 +47,14 @@ _STREAM_MIN_N = 32768
 _DIST_HOSTED_WORK = 8192 ** 3
 
 
+def _dense_solver_bytes(n: int, dtype) -> int:
+    """Estimated live HBM of the dense non-chol (QR) objective at N=n:
+    the K build (two transient N^2 buffers) plus Q and R — ~4 N^2 words.
+    Gates the stream-scale guard so big-RAM backends (CPU f64 hosts) can
+    opt back in via GP_TPU_HBM_BYTES (models/sparse.hbm_budget_bytes)."""
+    return 4 * n * n * jnp.dtype(dtype).itemsize
+
+
 # --------------------------------------------------------------------------
 # Pure functions
 # --------------------------------------------------------------------------
@@ -69,11 +77,18 @@ def nll_raw(kernel: KernelSpec, hyp, x, y, solver: SolverSpec = CHOL):
         # N^2 buffers — the measured-OOM shape on one chip at stream
         # scale.  Only the chol strategy has a streamed/slabbed build
         # (MatrixSolver.cpp:31-53 QR parity holds below this threshold).
-        raise NotImplementedError(
-            f"solver '{solver.name}' is unsupported at N={n} >= "
-            f"{_STREAM_MIN_N} (the dense two-buffer K build it requires "
-            f"exceeds single-chip HBM); use the 'chol' solver, whose "
-            f"build streams/slabs at this scale")
+        # Gated on the estimated footprint vs the HBM/RAM budget so
+        # backends where the dense build fits (CPU f64, big-RAM hosts)
+        # can opt back in with GP_TPU_HBM_BYTES.
+        from .sparse import hbm_budget_bytes
+        if _dense_solver_bytes(n, x.dtype) > hbm_budget_bytes():
+            raise NotImplementedError(
+                f"solver '{solver.name}' is unsupported at N={n} >= "
+                f"{_STREAM_MIN_N} (estimated dense footprint "
+                f"{_dense_solver_bytes(n, x.dtype)} B exceeds the "
+                f"{hbm_budget_bytes()} B budget); use the 'chol' solver, "
+                f"whose build streams/slabs at this scale, or raise "
+                f"GP_TPU_HBM_BYTES on a backend where the dense build fits")
     if solver.name == "chol" and n >= _STREAM_MIN_N:
         # HBM-bound N: build + factor at ~1x N^2 peak (streamed/slabbed);
         # the dense K build below holds two N^2 buffers — measured OOM
@@ -590,11 +605,16 @@ def objective_vg(kernel: KernelSpec, noise_free: bool, vec, x, y,
         g = to_opt_vec(g_hyp, noise_free)
         return sanitize_value_and_grad(f, g)
     if x.shape[0] >= _STREAM_MIN_N:
-        # same trace-time guard as nll_raw: AD of the dense QR build is
-        # the measured-OOM shape at stream scale
-        raise NotImplementedError(
-            f"solver '{solver.name}' is unsupported at N={x.shape[0]} >= "
-            f"{_STREAM_MIN_N}; use the 'chol' solver (streamed gradient)")
+        # same trace-time guard as nll_raw (memory-gated): AD of the
+        # dense QR build is the measured-OOM shape at stream scale
+        from .sparse import hbm_budget_bytes
+        if _dense_solver_bytes(x.shape[0], x.dtype) > hbm_budget_bytes():
+            raise NotImplementedError(
+                f"solver '{solver.name}' is unsupported at N={x.shape[0]} "
+                f">= {_STREAM_MIN_N} (estimated dense footprint exceeds "
+                f"the HBM budget); use the 'chol' solver (streamed "
+                f"gradient) or raise GP_TPU_HBM_BYTES on a backend where "
+                f"the dense build fits")
     f, g = jax.value_and_grad(
         lambda v: nll_raw(kernel, from_opt_vec(v, noise_free), x, y, solver)
     )(vec)
@@ -1117,6 +1137,10 @@ class GP(GPBase):
         return tuple(self._post[:-1])
 
     # -- distributed training / serving (parallel/pgp.py) -------------------
+    @staticmethod
+    def _is_grid_mesh(mesh) -> bool:
+        return {"rowg", "colg"} <= set(mesh.axis_names)
+
     def train_distributed(self, mesh, block: int | None = None,
                           init_hyps=None) -> float:
         """MLE fit with the N x N kernel matrix block-cyclic over mesh
@@ -1125,20 +1149,18 @@ class GP(GPBase):
         train().  The posterior cache stays SHARDED (each chip holds its
         row blocks of L), and the predict APIs serve from it.
 
-        A 2-D ("rowg", "colg") = (hosts, chips/host) mesh routes the FIT
-        through the DCN-lean grid layout (parallel/pchol2d.pfit2d_hosted,
-        ~6x less host-crossing traffic per evaluation — BASELINE.md
-        round-4 comm model); the one-time posterior cache then builds on
-        the flattened 1-D mesh so every serving/checkpoint path works
-        unchanged."""
+        A 2-D ("rowg", "colg") = (hosts, chips/host) mesh keeps the
+        ENTIRE pipeline on the DCN-lean grid layout (parallel/pchol2d):
+        fit (pfit2d_hosted), posterior cache incl. every noise-inflation
+        rescue attempt (pset_k2d), serving (ppredict2d — the predict
+        APIs route on the cached mesh's axis names), and the returned
+        final NLL (pnll2d).  ~6x less host-crossing traffic per O(N^3)
+        evaluation than the 1-D layout (BASELINE.md round-4 comm model);
+        no 1-D fallback anywhere on the grid path."""
         from ..parallel import pgp
         from .base import to_opt_vec
 
-        mesh_grid = None
-        if {"rowg", "colg"} <= set(mesh.axis_names):
-            from jax.sharding import Mesh as _Mesh
-            mesh_grid = mesh
-            mesh = _Mesh(np.asarray(mesh.devices).reshape(-1), ("rows",))
+        grid = self._is_grid_mesh(mesh)
 
         if init_hyps is None:
             init_hyps = self.get_default_hyps()
@@ -1155,22 +1177,23 @@ class GP(GPBase):
             lb_v, ub_v)
 
         from ..parallel.pchol import auto_block
+        n_dev = int(np.asarray(mesh.devices).size)
         if block is None:
-            block = auto_block(self.num_train, mesh.shape["rows"])
+            block = auto_block(self.num_train, n_dev)
         # watchdog routing (mirrors the single-chip stream regime): a
         # monolithic 160-eval jitted program past ~8192^3 per-device
         # work units (~0.5 s/eval) risks the remote runtime's ~60-100 s
         # single-execution kill; drive the optimizer from the host with
         # one distributed program per evaluation instead
         n = self.num_train
-        if mesh_grid is not None:
+        if grid:
             from ..parallel import pchol2d
             res = pchol2d.pfit2d_hosted(
                 self.kernel, self._noise_free, self._x, self._ys,
                 jnp.asarray(vec0, self._dtype),
                 jnp.asarray(lb_v, self._dtype),
                 jnp.asarray(ub_v, self._dtype),
-                mesh_grid, max_evals=self._MAX_EVAL)
+                mesh, block=block, max_evals=self._MAX_EVAL)
         else:
             fit_fn = (pgp.pfit_hosted
                       if n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
@@ -1186,17 +1209,28 @@ class GP(GPBase):
             np.asarray(from_opt_vec(res.x, self._noise_free), np.float64)),
             self._dtype)
 
-        hyp, L, invKys, ok = pgp.pset_k(self.kernel, self._hyps, self._x,
-                                        self._y, mesh, block=block)
+        if grid:
+            from ..parallel import pchol2d
+            hyp, L, invKys, ok = pchol2d.pset_k2d(
+                self.kernel, self._hyps, self._x, self._y, mesh,
+                block=block)
+        else:
+            hyp, L, invKys, ok = pgp.pset_k(self.kernel, self._hyps,
+                                            self._x, self._y, mesh,
+                                            block=block)
         if not ok:
             raise RuntimeError(
                 "distributed posterior factorization failed after noise "
-                "inflation (pgp.pset_k exhausted max_tries); refusing to "
+                "inflation (pset_k exhausted max_tries); refusing to "
                 "cache a NaN posterior")
         self._hyps = hyp
         self._post = None
         self._post_dist = (mesh, block, L, invKys)
         self._trained = True
+        if grid:
+            from ..parallel import pchol2d
+            return float(pchol2d.pnll2d(self.kernel, self._hyps, self._x,
+                                        self._y, mesh, block=block))
         f, _ = pgp.pnll_vg(self.kernel, self._hyps, self._x, self._y, mesh,
                            block=block)
         return float(f)
@@ -1204,18 +1238,36 @@ class GP(GPBase):
     def restore_distributed(self, mesh, block=None):
         """Re-attach a deserialized distributed posterior (utils/checkpoint
         stores the gathered block-cyclic L + invKys with layout metadata).
-        `mesh` must have the same "rows"-axis device count the factor was
-        computed with; shard_map re-shards the blocks on first use."""
+
+        1-D checkpoints need a mesh with the same "rows"-axis device
+        count; 2-D grid checkpoints need a ("rowg", "colg") mesh with the
+        same (Pr, Pc) grid shape.  shard_map re-shards the blocks on
+        first use."""
+        from ..parallel.pchol2d import AXC, AXR
         from ..parallel.pgp import AXIS
 
         pending = getattr(self, "_post_dist_pending", None)
         if pending is None:
             raise ValueError("no pending distributed posterior to restore")
-        n_dev, blk, L_np, invKys_np = pending
-        if mesh.shape[AXIS] != n_dev:
-            raise ValueError(
-                f"checkpointed posterior is blocked for {n_dev} devices on "
-                f"axis '{AXIS}'; mesh has {mesh.shape[AXIS]}")
+        layout, blk, L_np, invKys_np = pending
+        if isinstance(layout, tuple):                    # 2-D grid (Pr, Pc)
+            pr, pc = layout
+            if not self._is_grid_mesh(mesh):
+                raise ValueError(
+                    f"checkpointed posterior is blocked for a "
+                    f"({pr}, {pc}) ('rowg', 'colg') grid; mesh axes are "
+                    f"{mesh.axis_names}")
+            if (mesh.shape[AXR], mesh.shape[AXC]) != (pr, pc):
+                raise ValueError(
+                    f"checkpointed posterior is blocked for a ({pr}, {pc}) "
+                    f"grid; mesh is ({mesh.shape[AXR]}, {mesh.shape[AXC]})")
+        else:                                            # 1-D n_dev
+            n_dev = layout
+            if self._is_grid_mesh(mesh) or mesh.shape[AXIS] != n_dev:
+                raise ValueError(
+                    f"checkpointed posterior is blocked for {n_dev} devices "
+                    f"on axis '{AXIS}'; mesh has axes {mesh.axis_names} "
+                    f"shape {dict(mesh.shape)}")
         self._post_dist = (mesh, blk if block is None else block,
                            jnp.asarray(L_np, self._dtype),
                            jnp.asarray(invKys_np, self._dtype))
@@ -1229,11 +1281,18 @@ class GP(GPBase):
     def batch_predict(self, xs):
         self._require_trained()
         if getattr(self, "_post_dist", None) is not None:
-            from ..parallel import pgp
             mesh, block, L, invKys = self._post_dist
-            mu, s2 = pgp.ppredict(self.kernel, self._hyps, self._x, L,
-                                  invKys, self._as_batch(xs), mesh,
-                                  block=block)
+            if self._is_grid_mesh(mesh):
+                from ..parallel import pchol2d
+                mu, s2 = pchol2d.ppredict2d(self.kernel, self._hyps,
+                                            self._x, L, invKys,
+                                            self._as_batch(xs), mesh,
+                                            block=block)
+            else:
+                from ..parallel import pgp
+                mu, s2 = pgp.ppredict(self.kernel, self._hyps, self._x, L,
+                                      invKys, self._as_batch(xs), mesh,
+                                      block=block)
             return np.asarray(mu), np.asarray(s2)
         if self._in_stream_regime():
             mu, s2 = predict_streamed(self.kernel, self._hyps, self._x,
@@ -1262,14 +1321,22 @@ class GP(GPBase):
                                      self._factors(), self._as_batch(xs),
                                      self.solver))
 
+    def _ppredict_with_grad_dist(self, xs):
+        mesh, block, L, invKys = self._post_dist
+        if self._is_grid_mesh(mesh):
+            from ..parallel import pchol2d
+            return pchol2d.ppredict2d_with_grad(
+                self.kernel, self._hyps, self._x, L, invKys,
+                self._as_batch(xs), mesh, block=block)
+        from ..parallel import pgp
+        return pgp.ppredict_with_grad(
+            self.kernel, self._hyps, self._x, L, invKys,
+            self._as_batch(xs), mesh, block=block)
+
     def batch_predict_y_with_grad(self, xs):
         self._require_trained()
         if getattr(self, "_post_dist", None) is not None:
-            from ..parallel import pgp
-            mesh, block, L, invKys = self._post_dist
-            y, gy, _, _ = pgp.ppredict_with_grad(
-                self.kernel, self._hyps, self._x, L, invKys,
-                self._as_batch(xs), mesh, block=block)
+            y, gy, _, _ = self._ppredict_with_grad_dist(xs)
             return np.asarray(y), np.asarray(gy)
         y, gy = predict_y_with_grad(self.kernel, self._hyps, self._x,
                                     self._post[-1], self._as_batch(xs))
@@ -1278,11 +1345,7 @@ class GP(GPBase):
     def batch_predict_s2_with_grad(self, xs):
         self._require_trained()
         if getattr(self, "_post_dist", None) is not None:
-            from ..parallel import pgp
-            mesh, block, L, invKys = self._post_dist
-            _, _, s2, gs2 = pgp.ppredict_with_grad(
-                self.kernel, self._hyps, self._x, L, invKys,
-                self._as_batch(xs), mesh, block=block)
+            _, _, s2, gs2 = self._ppredict_with_grad_dist(xs)
             return np.asarray(s2), np.asarray(gs2)
         if self._in_stream_regime():
             s2, gs2 = predict_s2_with_grad_streamed(

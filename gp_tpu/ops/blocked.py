@@ -57,8 +57,12 @@ def _chol_inv_block(Kb, block: int, base_block: int, base_fn,
             return L, None
         return L, solve_triangular(L, jnp.eye(m, dtype=Kb.dtype),
                                    lower=True)
-    # same split rule as blocked_cholesky's base(): quarter-size panels
+    # same split rule as blocked_cholesky's base(): quarter-size panels,
+    # rounded down to a base_block multiple so the non-dividing fallback
+    # below still takes blocked_cholesky's blocked path (block %
+    # base_block != 0 there silently degrades to the stock full-m kernel)
     b = max(base_block, min(block, m // 4))
+    b -= b % base_block
     if m % b:
         # non-dividing size: fall back to the unfused pair
         L = blocked_cholesky(Kb, block=b, base_block=base_block,
@@ -91,6 +95,13 @@ def blocked_cholesky(K, block: int = 1024, base_block: int = 128,
                      panel_inv: bool = True, zero_upper: bool = True,
                      base_fn=None, return_diag_inv: bool = False):
     """Lower Cholesky factor of K (n x n), right-looking with block panels.
+
+    K must be FULLY symmetric (both triangles populated): the factorization
+    starts from K.T to hand XLA a free layout degree of freedom (see the
+    inline note below), so it READS THE UPPER TRIANGLE.  A lower-filled
+    matrix with junk above the diagonal (LAPACK potrf-style input) would
+    silently produce a wrong factor — every in-repo builder emits fully
+    symmetric K.
 
     The diagonal BxB factorization recurses down to `base_block` before
     using the stock kernel.  Sizes that are not multiples of `block` fall

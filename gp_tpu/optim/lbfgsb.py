@@ -259,6 +259,7 @@ def lbfgsb_hosted(
     max_backtracks: int = 25,
     armijo_c1: float = 1e-4,
     verbose: bool | None = None,
+    jit_fun: bool = True,
 ) -> LBFGSBResult:
     """Host-driven variant of lbfgsb_impl: the two-loop recursion, the
     projection and the Armijo line search run on the host (numpy, in the
@@ -286,7 +287,12 @@ def lbfgsb_hosted(
     if verbose is None:
         verbose = bool(os.environ.get("GP_TPU_VERBOSE_OPT"))
     dtype = x0.dtype
-    fun_j = jax.jit(fun)
+    # jit_fun=False: `fun` already dispatches a jitted program and needs
+    # host-side work per call (e.g. the multi-host wrappers replicate the
+    # trial point to the global mesh before each collective evaluation —
+    # parallel/multihost.pfit2d); wrapping it again would trace that
+    # host logic
+    fun_j = jax.jit(fun) if jit_fun else fun
 
     def feval(x_np):
         f, g = fun_j(jnp.asarray(x_np, dtype))

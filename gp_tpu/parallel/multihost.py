@@ -14,6 +14,12 @@ participate in one global mesh:
     arrays first, so the same shard_map programs run unchanged across
     process boundaries — rows ride ICI inside a host, DCN between hosts,
     all through XLA collectives.
+  * `pnll_vg2d` / `pfit2d` / `pset_k2d` / `ppredict2d` are the 2-D
+    ("rowg", "colg") grid twins (parallel/pchol2d) — `global_mesh_2d()`
+    puts each host on its own grid row so only the col-broadcasts cross
+    DCN (~6x less host-crossing traffic per evaluation; BASELINE.md
+    round-4 comm model).  These are the intended production entries on
+    a multi-host pod.
 
 Tested with multiple CPU processes (tests/test_multihost.py spawns two
 4-device processes and checks bitwise agreement with the single-process
@@ -28,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kernels import KernelSpec
-from . import pgp
+from . import pchol2d, pgp
 from .mesh import make_mesh
 
 
@@ -62,6 +68,24 @@ def global_mesh(n_devices: int | None = None,
                 axis_name: str = "rows") -> Mesh:
     """1-D mesh over all processes' devices (global view)."""
     return make_mesh(n_devices, axis_name=axis_name, devices=jax.devices())
+
+
+def global_mesh_2d(pr: int | None = None, pc: int | None = None) -> Mesh:
+    """("rowg", "colg") grid over all processes' devices.
+
+    Default: Pr = process count, Pc = devices per process — jax.devices()
+    orders all of process 0's devices first, so reshape(Pr, Pc) puts each
+    host on its own grid ROW: the row-broadcasts (psum over "colg") stay
+    intra-host and only the col-broadcasts cross DCN, which is the entire
+    point of the layout (pchol2d module docstring; BASELINE.md round-4
+    comm model)."""
+    devs = jax.devices()
+    if pr is None:
+        pr = jax.process_count()
+    if pc is None:
+        pc = len(devs) // pr
+    grid = np.asarray(devs[:pr * pc]).reshape(pr, pc)
+    return Mesh(grid, (pchol2d.AXR, pchol2d.AXC))
 
 
 def replicate(arr, mesh: Mesh):
@@ -165,3 +189,115 @@ def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None,
     hyp = hyp.copy()
     hyp[-2] = log_sn
     return jnp.asarray(hyp), L, invKys[:n], ok
+
+
+# --------------------------------------------------------------------------
+# 2-D ("rowg", "colg") grid entries — the DCN-lean layout crossing real
+# process boundaries (parallel/pchol2d; the layout exists FOR the host
+# boundary, so these are its production entry points on a pod)
+# --------------------------------------------------------------------------
+
+def _pad_xy2d(x, y, pr: int, pc: int, block):
+    from .pchol import auto_block
+    if block is None:
+        block = auto_block(np.asarray(x).shape[0], pr * pc)
+    x_pad, y_pad, n = pchol2d._pad_xy(jnp.asarray(np.asarray(x)),
+                                      jnp.asarray(np.asarray(y)), pr, pc,
+                                      block)
+    return x_pad, y_pad, n, block
+
+
+def pnll_vg2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh,
+              block: int | None = None):
+    """Multi-host grid (NLL, grad) — pchol2d.pnll_vg2d semantics.
+
+    Every process must pass the SAME x/y/hyp (data-replicated input,
+    grid-sharded compute)."""
+    pr, pc = mesh.shape[pchol2d.AXR], mesh.shape[pchol2d.AXC]
+    x_pad, y_pad, n, block = _pad_xy2d(x, y, pr, pc, block)
+    dt = np.asarray(x_pad).dtype
+    f, g = pchol2d._pnll_vg2d_program(
+        kernel, replicate(np.asarray(hyp, dt), mesh),
+        replicate(x_pad, mesh), replicate(y_pad, mesh), n, pr, pc, block,
+        mesh)
+    return pgp.sanitize_value_and_grad(f, g)
+
+
+def pfit2d(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+           mesh: Mesh, block: int | None = None, max_evals: int = 160):
+    """Multi-host grid bounded MLE fit, L-BFGS-B driven from the host —
+    every process runs the identical deterministic host loop on
+    replicated values, so they stay in lockstep and each evaluation is
+    one collective grid program (the pchol2d.pfit2d_hosted pattern
+    across process boundaries).  Pass standardized targets at float32."""
+    from ..models.base import from_opt_vec
+    from ..optim.lbfgsb import lbfgsb_hosted
+
+    pr, pc = mesh.shape[pchol2d.AXR], mesh.shape[pchol2d.AXC]
+    x_pad, y_pad, n, block = _pad_xy2d(x, y, pr, pc, block)
+    dt = np.asarray(x_pad).dtype
+    x_g = replicate(x_pad, mesh)
+    y_g = replicate(y_pad, mesh)
+
+    def fun(v):
+        hyp = replicate(np.asarray(from_opt_vec(jnp.asarray(v, dt),
+                                                noise_free)), mesh)
+        f, g = pchol2d._pnll_vg2d_program(kernel, hyp, x_g, y_g, n, pr,
+                                          pc, block, mesh)
+        gv = jnp.concatenate([g[:-2], g[-1:]]) if noise_free else g
+        return pgp.sanitize_value_and_grad(f, gv)
+
+    return lbfgsb_hosted(fun, jnp.asarray(np.asarray(vec0, dt)),
+                         jnp.asarray(np.asarray(lb, dt)),
+                         jnp.asarray(np.asarray(ub, dt)),
+                         max_evals=max_evals, jit_fun=False)
+
+
+def pset_k2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh,
+             block: int | None = None, max_tries: int = 32):
+    """Multi-host grid posterior cache with the noise-inflation rescue
+    (pchol2d.pset_k2d semantics) — every rescue attempt is one grid
+    program; the ladder never re-enters the 1-D all-gather layout.
+    Returns (hyp', L grid-sharded, invKys, ok)."""
+    pr, pc = mesh.shape[pchol2d.AXR], mesh.shape[pchol2d.AXC]
+    x_pad, y_pad, n, block = _pad_xy2d(x, y, pr, pc, block)
+    dt = np.asarray(x_pad).dtype
+    hyp = np.asarray(hyp, dt)
+    x_g = replicate(x_pad, mesh)
+    y_g = replicate(y_pad, mesh)
+    eps = float(np.finfo(dt).eps)
+
+    log_sn = float(hyp[-2])
+    ok = False
+    for _ in range(max_tries):
+        h = hyp.copy()
+        h[-2] = log_sn
+        L, ok_arr, invKys = pchol2d._pfactor2d_program(
+            kernel, replicate(h, mesh), x_g, y_g, n, pr, pc, block, mesh)
+        ok = bool(np.asarray(ok_arr))
+        if ok:
+            break
+        log_sn = (np.log(eps) if np.isinf(log_sn)
+                  else log_sn + 0.5 * np.log(10.0))
+    hyp = hyp.copy()
+    hyp[-2] = log_sn
+    return jnp.asarray(hyp), L, invKys[:n], ok
+
+
+def ppredict2d(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
+               block: int | None = None):
+    """Multi-host grid batch posterior (pchol2d.ppredict2d semantics).
+    `L` is the global grid-sharded factor from this module's pset_k2d."""
+    pr, pc = mesh.shape[pchol2d.AXR], mesh.shape[pchol2d.AXC]
+    if block is None:
+        block = int(L.shape[4])
+    x_arr = np.asarray(x)
+    x_pad, _, n = pchol2d._pad_xy(
+        jnp.asarray(x_arr), jnp.zeros((x_arr.shape[0],), x_arr.dtype),
+        pr, pc, block)
+    dt = np.asarray(x_pad).dtype
+    return pchol2d._ppredict2d_program(
+        kernel, replicate(np.asarray(hyp, dt), mesh),
+        replicate(x_pad, mesh), L,
+        replicate(np.asarray(invKys, dt), mesh),
+        replicate(np.asarray(xs, dt), mesh), n, pr, pc, block, mesh)

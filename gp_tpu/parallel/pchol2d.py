@@ -109,61 +109,115 @@ def _replicate_from(val, owner_r, owner_c, r, c):
     return jax.lax.psum(jax.lax.psum(v, AXR), AXC)
 
 
-def pchol2d_local(K_loc, pr: int, pc: int):
+def _pchol2d_panel(K_loc, k: int, pr: int, pc: int, r, c, gi, gj):
+    """Steps 1-4 of grid panel k: factor + replicate the diagonal block,
+    owner-column TRSM, panel write-back, and the row/col broadcasts.
+    Returns (K_loc with the finalized panel column written, prow, pcol).
+    """
+    nbr, nbc, B = K_loc.shape[0], K_loc.shape[1], K_loc.shape[2]
+    orow, oc = k % pr, k % pc
+    li, lj = k // pr, k // pc
+
+    # 1. factor + replicate the diagonal block
+    Lkk = jnp.linalg.cholesky(K_loc[li, lj])
+    Lkk = _replicate_from(Lkk, orow, oc, r, c)
+
+    # 2. owner-column TRSM: X[i] = K[i, k] Lkk^{-T} for i > k
+    col = K_loc[:, lj]                               # (nbr, B, B)
+    X = solve_triangular(
+        Lkk, col.reshape(nbr * B, B).T, lower=True).T.reshape(
+        nbr, B, B)
+    below = (gi > k)[:, None, None]
+    X = jnp.where(below & (c == oc), X, 0.0)
+
+    # write the finalized panel column back (owner column only)
+    newcol = jnp.where(below, X, col)
+    newcol = newcol.at[li].set(
+        jnp.where(r == orow, jnp.tril(Lkk), newcol[li]))
+    K_loc = K_loc.at[:, lj].set(
+        jnp.where(c == oc, newcol, K_loc[:, lj]))
+
+    # 3. row-broadcast: L[i, k] for MY row-block ids (left operands)
+    prow = jax.lax.psum(jnp.where(c == oc, X, 0.0), AXC)  # (nbr, B, B)
+
+    # 4. col-broadcast: L[j, k] for MY col-block ids (right operands).
+    #    Block j lives in prow slot (j - r) / pr on grid row j % pr;
+    #    exactly one grid row contributes per slot, so the masked
+    #    psum over "rowg" is a disjoint scatter, not a reduction.
+    src = jnp.clip((gj - r) // pr, 0, nbr - 1)       # (nbc,)
+    have = (gj % pr) == r
+    cand = jnp.take(prow, src, axis=0)               # (nbc, B, B)
+    pcol = jax.lax.psum(
+        jnp.where(have[:, None, None], cand, 0.0), AXR)
+    pcol = jnp.where((gj > k)[:, None, None], pcol, 0.0)
+    return K_loc, prow, pcol
+
+
+def pchol2d_local(K_loc, pr: int, pc: int, lookahead: bool = True):
     """Right-looking blocked Cholesky on the 2-D block-cyclic layout.
 
     K_loc: (nbr, nbc, B, B) — this device's blocks.  Returns L in the
     same layout: diagonal blocks tril'd, above-diagonal blocks untouched
     (consumers read the block lower triangle only, mirroring the 1-D
     zero-upper-free contract).
+
+    lookahead=True (default) pipelines panels one step ahead — the 2-D
+    analog of pchol.pchol_local's lookahead: the trailing update with
+    panel k is split into the NARROW local column slice lj0 = (k+1)//pc
+    that finalizes panel k+1's own column (rows with gi > k all live at
+    local row >= (k+1)//pr, so the conservative-corner slice covers
+    them; boundary blocks with gj <= k carry exact zeros in pcol and
+    no-op) and the WIDE remainder [lj0+1:].  Panel k+1 is then factored,
+    TRSM'd and its row/col broadcasts ISSUED before the wide einsum, so
+    XLA's latency-hiding scheduler overlaps the DCN-crossing
+    col-broadcast (the term BASELINE.md's 2-D efficiency table needs
+    hidden) with the dominant MXU GEMM instead of serializing nb
+    blocking broadcasts on the critical path.  Identical arithmetic per
+    output element (the update is the same contraction applied in two
+    disjoint column slices): bitwise-equal factors on the virtual grid
+    (tests/test_pchol2d.py).
     """
-    nbr, nbc, B = K_loc.shape[0], K_loc.shape[1], K_loc.shape[2]
+    nbr, nbc = K_loc.shape[0], K_loc.shape[1]
     nb = nbr * pr
     r, c, gi, gj = _grid_ids(nbr, nbc, pr, pc)
 
+    if not lookahead:
+        for k in range(nb):                              # static unroll
+            K_loc, prow, pcol = _pchol2d_panel(K_loc, k, pr, pc, r, c,
+                                               gi, gj)
+            # 5. trailing update on the static conservative corner:
+            #    boundary blocks with global index <= k are exact zeros
+            #    in prow/pcol
+            li0, lj0 = (k + 1) // pr, (k + 1) // pc
+            if li0 < nbr and lj0 < nbc:
+                upd = jnp.einsum("iak,jbk->ijab", prow[li0:], pcol[lj0:])
+                K_loc = K_loc.at[li0:, lj0:].add(-upd)
+        return K_loc
+
+    # one-panel lookahead pipeline
+    K_loc, prow, pcol = _pchol2d_panel(K_loc, 0, pr, pc, r, c, gi, gj)
     for k in range(nb):                                  # static unroll
-        orow, oc = k % pr, k % pc
-        li, lj = k // pr, k // pc
-
-        # 1. factor + replicate the diagonal block
-        Lkk = jnp.linalg.cholesky(K_loc[li, lj])
-        Lkk = _replicate_from(Lkk, orow, oc, r, c)
-
-        # 2. owner-column TRSM: X[i] = K[i, k] Lkk^{-T} for i > k
-        col = K_loc[:, lj]                               # (nbr, B, B)
-        X = solve_triangular(
-            Lkk, col.reshape(nbr * B, B).T, lower=True).T.reshape(
-            nbr, B, B)
-        below = (gi > k)[:, None, None]
-        X = jnp.where(below & (c == oc), X, 0.0)
-
-        # write the finalized panel column back (owner column only)
-        newcol = jnp.where(below, X, col)
-        newcol = newcol.at[li].set(
-            jnp.where(r == orow, jnp.tril(Lkk), newcol[li]))
-        K_loc = K_loc.at[:, lj].set(
-            jnp.where(c == oc, newcol, K_loc[:, lj]))
-
-        # 3. row-broadcast: L[i, k] for MY row-block ids (left operands)
-        prow = jax.lax.psum(jnp.where(c == oc, X, 0.0), AXC)  # (nbr, B, B)
-
-        # 4. col-broadcast: L[j, k] for MY col-block ids (right operands).
-        #    Block j lives in prow slot (j - r) / pr on grid row j % pr;
-        #    exactly one grid row contributes per slot, so the masked
-        #    psum over "rowg" is a disjoint scatter, not a reduction.
-        src = jnp.clip((gj - r) // pr, 0, nbr - 1)       # (nbc,)
-        have = (gj % pr) == r
-        cand = jnp.take(prow, src, axis=0)               # (nbc, B, B)
-        pcol = jax.lax.psum(
-            jnp.where(have[:, None, None], cand, 0.0), AXR)
-        pcol = jnp.where((gj > k)[:, None, None], pcol, 0.0)
-
-        # 5. trailing update on the static conservative corner: boundary
-        #    blocks with global index <= k are exact zeros in prow/pcol
         li0, lj0 = (k + 1) // pr, (k + 1) // pc
-        if li0 < nbr and lj0 < nbc:
-            upd = jnp.einsum("iak,jbk->ijab", prow[li0:], pcol[lj0:])
-            K_loc = K_loc.at[li0:, lj0:].add(-upd)
+        if k + 1 < nb:
+            # (a) narrow update: finalize panel k+1's local column.
+            #     Every block with gi > k sits at local row >= li0
+            #     ((k+1)//pr * pr <= k+1 bounds gi <= k below it); on
+            #     grid columns where gj[lj0] != k+1 the slice is either
+            #     a boundary no-op (pcol zero) or a legitimate early
+            #     piece of the trailing update.
+            if li0 < nbr and lj0 < nbc:
+                upd = jnp.einsum("iak,bk->iab", prow[li0:], pcol[lj0])
+                K_loc = K_loc.at[li0:, lj0].add(-upd)
+            # (b) factor/TRSM panel k+1 and ISSUE its broadcasts now
+            K_loc, prow_n, pcol_n = _pchol2d_panel(K_loc, k + 1, pr, pc,
+                                                   r, c, gi, gj)
+            # (c) wide remainder of panel k's trailing update — the MXU
+            #     GEMM the broadcasts above hide behind
+            if li0 < nbr and lj0 + 1 < nbc:
+                upd = jnp.einsum("iak,jbk->ijab", prow[li0:],
+                                 pcol[lj0 + 1:])
+                K_loc = K_loc.at[li0:, lj0 + 1:].add(-upd)
+            prow, pcol = prow_n, pcol_n
     return K_loc
 
 
@@ -178,52 +232,62 @@ def plogdet2d_local(L_loc, pr: int, pc: int):
 
 
 def psolve2d_lower_local(L_loc, rhs, pr: int, pc: int):
-    """Solve L w = rhs with rhs (N,) REPLICATED; returns w replicated.
+    """Solve L W = rhs with rhs (N,) or (N, T) REPLICATED; returns W
+    replicated in rhs's shape.
 
-    Row k of L is spread over grid row k%Pr: each panel costs two O(B)
-    psums — O(N B) comm per solve, negligible next to the factorization.
+    Row k of L is spread over grid row k%Pr: each panel costs two
+    O(B T) psums — O(N T) comm per solve, negligible next to the
+    factorization (the counted comm model, BASELINE.md round 4 — the
+    term that keeps grid SERVING off the 1-D 4N^2 all-gather ring).
     """
     nbr, nbc, B = L_loc.shape[0], L_loc.shape[1], L_loc.shape[2]
     nb = nbr * pr
     r, c, gi, gj = _grid_ids(nbr, nbc, pr, pc)
-    w = jnp.zeros_like(rhs)
+    vec = rhs.ndim == 1
+    R = rhs[:, None] if vec else rhs                     # (N, T)
+    T = R.shape[1]
+    w = jnp.zeros_like(R)
     for k in range(nb):
         orow, oc = k % pr, k % pc
         li, lj = k // pr, k // pc
-        wj = w.reshape(nb, B)[gj]                        # (nbc, B)
+        wj = w.reshape(nb, B, T)[gj]                     # (nbc, B, T)
         Lrow = jnp.where(((gj < k) & (r == orow))[:, None, None],
                          L_loc[li], 0.0)
-        part = jnp.einsum("jab,jb->a", Lrow, wj)         # (B,)
+        part = jnp.einsum("jab,jbt->at", Lrow, wj)       # (B, T)
         part = jax.lax.psum(jax.lax.psum(part, AXC), AXR)
         Lkk = _replicate_from(L_loc[li, lj], orow, oc, r, c)
         wk = solve_triangular(jnp.tril(Lkk),
-                              rhs.reshape(nb, B)[k] - part, lower=True)
-        w = w.reshape(nb, B).at[k].set(wk).reshape(-1)
-    return w
+                              R.reshape(nb, B, T)[k] - part, lower=True)
+        w = w.reshape(nb, B, T).at[k].set(wk).reshape(-1, T)
+    return w[:, 0] if vec else w
 
 
 def psolve2d_lower_t_local(L_loc, rhs, pr: int, pc: int):
-    """Solve L^T x = rhs (back-substitution), rhs (N,) replicated.
+    """Solve L^T X = rhs (back-substitution), rhs (N,) or (N, T)
+    replicated.
 
     Column k of L is spread over grid column k%Pc (rows i%Pr)."""
     nbr, nbc, B = L_loc.shape[0], L_loc.shape[1], L_loc.shape[2]
     nb = nbr * pr
     r, c, gi, gj = _grid_ids(nbr, nbc, pr, pc)
-    x = jnp.zeros_like(rhs)
+    vec = rhs.ndim == 1
+    R = rhs[:, None] if vec else rhs                     # (N, T)
+    T = R.shape[1]
+    x = jnp.zeros_like(R)
     for k in range(nb - 1, -1, -1):
         orow, oc = k % pr, k % pc
         li, lj = k // pr, k // pc
-        xi = x.reshape(nb, B)[gi]                        # (nbr, B)
+        xi = x.reshape(nb, B, T)[gi]                     # (nbr, B, T)
         Lcol = jnp.where(((gi > k) & (c == oc))[:, None, None],
                          L_loc[:, lj], 0.0)
-        part = jnp.einsum("iab,ia->b", Lcol, xi)         # (B,)
+        part = jnp.einsum("iab,iat->bt", Lcol, xi)       # (B, T)
         part = jax.lax.psum(jax.lax.psum(part, AXR), AXC)
         Lkk = _replicate_from(L_loc[li, lj], orow, oc, r, c)
         xk = solve_triangular(jnp.tril(Lkk),
-                              rhs.reshape(nb, B)[k] - part,
+                              R.reshape(nb, B, T)[k] - part,
                               lower=True, trans=1)
-        x = x.reshape(nb, B).at[k].set(xk).reshape(-1)
-    return x
+        x = x.reshape(nb, B, T).at[k].set(xk).reshape(-1, T)
+    return x[:, 0] if vec else x
 
 
 def _build_k_local(kernel: KernelSpec, hyp, x_pad, n_real: int,
@@ -503,3 +567,185 @@ def pnll2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None):
                         y_pad, n, pr, pc, block, mesh)
     g = jnp.zeros((1,), x_pad.dtype)
     return sanitize_value_and_grad(f, g)[0]
+
+
+# --------------------------------------------------------------------------
+# Grid posterior cache + serving (GP::_setK / GP::_predict at pod scale —
+# GP.cpp:423-444, 273-297 — entirely on the DCN-lean layout: no 1-D
+# fallback, so rescue attempts and variance batches never re-enter the
+# 4N^2 all-gather ring the grid exists to avoid)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kernel", "n_real", "pr", "pc", "block",
+                                   "mesh"))
+def _pfactor2d_program(kernel, hyp, x_pad, y_pad, n_real, pr, pc, block,
+                       mesh):
+    """Factor K(hyp) on the grid; return (L grid-sharded
+    (pr, pc, nbr, nbc, B, B), ok, invKys replicated)."""
+    def body(hyp, x, y):
+        K_loc, row_ids, col_ids = _build_k_local(kernel, hyp, x, n_real,
+                                                 pr, pc, block)
+        nbr, nbc = K_loc.shape[0], K_loc.shape[1]
+        _, _, gi, gj = _grid_ids(nbr, nbc, pr, pc)
+        L_loc = pchol2d_local(K_loc, pr, pc)
+        # ok = every grid-diagonal block's diagonal finite and positive
+        on_diag = (gi[:, None] == gj[None, :])[:, :, None]   # (nbr,nbc,1)
+        d = jnp.diagonal(L_loc, axis1=2, axis2=3)            # (nbr,nbc,B)
+        bad = jnp.sum(jnp.where(on_diag & ~(jnp.isfinite(d) & (d > 0)),
+                                1, 0))
+        ok = jax.lax.psum(jax.lax.psum(bad, AXR), AXC) == 0
+        r_full = jnp.where(jnp.arange(x.shape[0]) < n_real,
+                           y - hyp_mean(hyp), 0.0)
+        w = psolve2d_lower_local(L_loc, r_full, pr, pc)
+        invKys = psolve2d_lower_t_local(L_loc, w, pr, pc)    # replicated
+        return L_loc[None, None], ok, invKys
+
+    return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                     out_specs=(P(AXR, AXC), P(), P()),
+                     check_vma=False)(hyp, x_pad, y_pad)
+
+
+def pset_k2d(kernel: KernelSpec, hyp, x, y, mesh: Mesh,
+             block: int | None = None, max_tries: int = 32):
+    """Grid posterior cache with the reference's noise-inflation rescue
+    (GP::_setK, GP.cpp:423-444): while the grid Cholesky fails,
+    log sigma_n += log sqrt(10) (restarting at log eps from -inf) — each
+    attempt is one grid program, so EVERY rescue round stays on the
+    DCN-lean layout (the 1-D route prices each attempt at 4N^2
+    host-crossing bytes; here it is 8N^2/Pc — BASELINE.md round 4).
+
+    Returns (hyp', L (pr, pc, nbr, nbc, B, B) grid-sharded, invKys (N,)
+    replicated, ok).  `ok` False only when every one of max_tries
+    inflation rounds still failed — L/invKys then contain NaN and MUST
+    NOT be cached as a serving posterior (callers raise: fail-loud
+    contract, models/exact.py)."""
+    pr, pc = mesh.shape[AXR], mesh.shape[AXC]
+    if block is None:
+        block = pchol.auto_block(np.asarray(x).shape[0], pr * pc)
+    x_pad, y_pad, n = _pad_xy(jnp.asarray(x), jnp.asarray(y), pr, pc, block)
+    hyp = jnp.asarray(hyp, x_pad.dtype)
+    eps = float(jnp.finfo(x_pad.dtype).eps)
+
+    log_sn = float(hyp[-2])
+    ok = False
+    for _ in range(max_tries):
+        L, ok, invKys = _pfactor2d_program(
+            kernel, hyp.at[-2].set(log_sn), x_pad, y_pad, n, pr, pc,
+            block, mesh)
+        if bool(ok):
+            break
+        log_sn = (np.log(eps) if np.isinf(log_sn)
+                  else log_sn + 0.5 * np.log(10.0))
+    hyp = hyp.at[-2].set(log_sn)
+    return hyp, L, invKys[:n], bool(ok)
+
+
+@partial(jax.jit, static_argnames=("pr", "pc", "mesh"))
+def _pquad2d_program(kt_pad, L, pr, pc, mesh):
+    """sum(k* o K^{-1} k*) per test point via the grid forward solve:
+    quad_t = ||L^{-1} kt_t||^2.  O(N^2 T / P) FLOPs, O(N T) comm — the
+    counted model's serving term (no N^2-scale collective)."""
+    def body(L, kt):
+        Z = psolve2d_lower_local(L[0, 0], kt, pr, pc)    # (N_pad, T) repl
+        return jnp.sum(Z * Z, axis=0)
+
+    return shard_map(body, mesh=mesh, in_specs=(P(AXR, AXC), P()),
+                     out_specs=P(), check_vma=False)(L, kt_pad)
+
+
+@partial(jax.jit, static_argnames=("pr", "pc", "mesh"))
+def _psolve2d_columns(kt_pad, L, pr, pc, mesh):
+    """K^{-1} kt for T columns via the grid solve; replicated (N_pad, T)."""
+    def body(L, kt):
+        Z = psolve2d_lower_local(L[0, 0], kt, pr, pc)
+        return psolve2d_lower_t_local(L[0, 0], Z, pr, pc)
+
+    return shard_map(body, mesh=mesh, in_specs=(P(AXR, AXC), P()),
+                     out_specs=P(), check_vma=False)(L, kt_pad)
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_real", "pr", "pc", "block",
+                                   "mesh"))
+def _ppredict2d_program(kernel, hyp, x_pad, L, invKys, xs, n_real, pr, pc,
+                        block, mesh):
+    """Fully-jitted grid predict (multi-host safe: every op on the global
+    arrays happens inside this one program) — pgp._ppredict_program's
+    grid twin."""
+    nc = kernel.num_hyp(x_pad.shape[1])
+    chyp = hyp[:nc]
+    kt = kernel.k(chyp, xs, x_pad[:n_real])              # (T, N)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x_pad.dtype
+                       ).at[:n_real, :].set(kt.T)
+    quad = _pquad2d_program.__wrapped__(kt_pad, L, pr, pc, mesh)
+    s2 = jnp.maximum(kernel.diag_k(chyp, xs) - quad, 0.0) + hyp_sn2(hyp)
+    return mu, s2
+
+
+def _pad_x_for_grid(x, pr: int, pc: int, block: int):
+    x = jnp.asarray(x)
+    return _pad_xy(x, jnp.zeros((x.shape[0],), x.dtype), pr, pc, block)
+
+
+def ppredict2d(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
+               block: int | None = None):
+    """Grid batch posterior (GP::_predict semantics, GP.cpp:273-297):
+    mean via the cached invKys (O(NT)), variance via the grid solve.
+
+    `block` defaults to the factor's own blocking (L is
+    (pr, pc, nbr, nbc, B, B))."""
+    pr, pc = mesh.shape[AXR], mesh.shape[AXC]
+    if block is None:
+        block = int(L.shape[4])
+    x = jnp.asarray(x)
+    xs = jnp.asarray(xs, x.dtype)
+    x_pad, _, n = _pad_x_for_grid(x, pr, pc, block)
+    hyp = jnp.asarray(hyp, x.dtype)
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+
+    # one (T, N) cross-covariance build serves both mean and variance
+    kt = kernel.k(chyp, xs, x)                           # (T, N)
+    mu = hyp_mean(hyp) + kt @ invKys
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x.dtype
+                       ).at[:n, :].set(kt.T)
+    quad = _pquad2d_program(kt_pad, L, pr, pc, mesh)
+    s2 = jnp.maximum(kernel.diag_k(chyp, xs) - quad, 0.0) + hyp_sn2(hyp)
+    return mu, s2
+
+
+def ppredict2d_with_grad(kernel: KernelSpec, hyp, x, L, invKys, xs,
+                         mesh: Mesh, block: int | None = None):
+    """(y, gy, s2, gs2) off the GRID posterior — the BO acquisition path
+    (GP.cpp:284-296 semantics: gy = dk*/dx . invKys, gs2 = -2 dk*/dx .
+    (K^{-1} k*), the variance clamp excluded from the gradient); the 2-D
+    twin of pgp.ppredict_with_grad."""
+    pr, pc = mesh.shape[AXR], mesh.shape[AXC]
+    if block is None:
+        block = int(L.shape[4])
+    x = jnp.asarray(x)
+    xs = jnp.asarray(xs, x.dtype)
+    x_pad, _, n = _pad_x_for_grid(x, pr, pc, block)
+    hyp = jnp.asarray(hyp, x.dtype)
+    nc = kernel.num_hyp(x.shape[1])
+    chyp = hyp[:nc]
+
+    kt = kernel.k(chyp, xs, x)                           # (T, N)
+    kt_pad = jnp.zeros((x_pad.shape[0], xs.shape[0]), x.dtype
+                       ).at[:n, :].set(kt.T)
+    kks = _psolve2d_columns(kt_pad, L, pr, pc, mesh)[:n]  # (N, T)
+
+    yfun = lambda xi: hyp_mean(hyp) + jnp.dot(
+        kernel.k(chyp, xi[None, :], x)[0], invKys)
+    y, gy = jax.vmap(jax.value_and_grad(yfun))(xs)
+
+    sf2 = kernel.diag_k(chyp, xs)
+    s2 = jnp.maximum(sf2 - jnp.einsum("tn,nt->t", kt, kks), 0.0) \
+        + hyp_sn2(hyp)
+
+    def gs2_one(xi, kks_t):
+        _, vjp = jax.vjp(lambda z: kernel.k(chyp, z[None, :], x)[0], xi)
+        return vjp(-2.0 * kks_t)[0]
+
+    gs2 = jax.vmap(gs2_one)(xs, kks.T)
+    return y, gy, s2, gs2

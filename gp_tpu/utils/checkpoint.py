@@ -60,8 +60,16 @@ def save_model(model, path: str) -> None:
         "trained": trained,
     }
     if trained and dist is not None:
-        from ..parallel.pgp import AXIS
-        meta["dist_n_dev"] = int(dist[0].shape[AXIS])
+        mesh_d = dist[0]
+        if {"rowg", "colg"} <= set(mesh_d.axis_names):
+            # 2-D grid posterior (parallel/pchol2d): record the (Pr, Pc)
+            # grid so restore_distributed demands a matching grid mesh
+            from ..parallel.pchol2d import AXC, AXR
+            meta["dist_grid"] = [int(mesh_d.shape[AXR]),
+                                 int(mesh_d.shape[AXC])]
+        else:
+            from ..parallel.pgp import AXIS
+            meta["dist_n_dev"] = int(mesh_d.shape[AXIS])
         meta["dist_block"] = int(dist[1])
     if hasattr(model, "_bucket"):
         meta["bucket"] = int(model._bucket)
@@ -137,9 +145,11 @@ def load_model(path: str):
             model._post = tuple(post)
             model._trained = True
         model._post_aux = meta.get("post_aux")
-        if meta["trained"] and "dist_n_dev" in meta:
+        if meta["trained"] and ("dist_n_dev" in meta or "dist_grid" in meta):
+            layout = (tuple(meta["dist_grid"]) if "dist_grid" in meta
+                      else meta["dist_n_dev"])
             model._post_dist_pending = (
-                meta["dist_n_dev"], meta["dist_block"],
+                layout, meta["dist_block"],
                 np.asarray(z["dist_L"]), np.asarray(z["dist_invKys"]))
             model._trained = True
         model._key = jnp.asarray(z["key"], jnp.uint32)

@@ -55,12 +55,32 @@ xs = rng.uniform(-3, 3, (8, 3))
 mu, s2 = multihost.ppredict(SE_ARD, np.asarray(hyp_k), x, L,
                             np.asarray(invKys), xs, mesh, block=4)
 
+# ---- 2-D grid across the process boundary (the DCN-lean layout): each
+# process is one grid ROW, so the col-broadcasts are exactly the
+# cross-process hops (multihost.global_mesh_2d) --------------------------
+mesh2 = multihost.global_mesh_2d()
+assert mesh2.shape == {"rowg": 2, "colg": 4}, dict(mesh2.shape)
+f2, g2 = multihost.pnll_vg2d(SE_ARD, hyp, x, y, mesh2, block=4)
+res2 = multihost.pfit2d(SE_ARD, False, x, y,
+                        np.clip(hyp, lb, ub), lb, ub, mesh2, block=4,
+                        max_evals=12)
+hyp_k2, L2, invKys2, ok2 = multihost.pset_k2d(SE_ARD, hyp, x, y, mesh2,
+                                              block=4)
+mu2, s22 = multihost.ppredict2d(SE_ARD, np.asarray(hyp_k2), x, L2,
+                                np.asarray(invKys2), xs, mesh2, block=4)
+
 if pid == 0:
     json.dump({"f": float(f), "g": np.asarray(g).tolist(),
                "fit_f": float(res.f), "fit_x": np.asarray(res.x).tolist(),
                "ok": bool(ok),
                "mu": np.asarray(mu).tolist(), "s2": np.asarray(s2).tolist(),
-               "invKys": np.asarray(invKys).tolist()}, open(out, "w"))
+               "invKys": np.asarray(invKys).tolist(),
+               "f2": float(f2), "g2": np.asarray(g2).tolist(),
+               "fit2_f": float(res2.f), "fit2_x": np.asarray(res2.x).tolist(),
+               "ok2": bool(ok2),
+               "mu2": np.asarray(mu2).tolist(),
+               "s22": np.asarray(s22).tolist(),
+               "invKys2": np.asarray(invKys2).tolist()}, open(out, "w"))
 """
 
 
@@ -94,6 +114,7 @@ def test_two_process_matches_single_process(tmp_path):
     result = json.load(open(out))
 
     # single-process reference on the in-test 8-device mesh, same data
+    import jax
     import jax.numpy as jnp
     from gp_tpu import SE_ARD
     from gp_tpu.models.base import default_hyps, hyp_range
@@ -129,4 +150,37 @@ def test_two_process_matches_single_process(tmp_path):
     mu, s2 = pgp.ppredict(SE_ARD, hyp_k, x, L, invKys, xs, mesh, block=4)
     np.testing.assert_allclose(result["mu"], np.asarray(mu), rtol=1e-9)
     np.testing.assert_allclose(result["s2"], np.asarray(s2), rtol=1e-8,
+                               atol=1e-12)
+
+    # ---- 2-D grid: the two-process (2, 4) grid must agree bitwise-level
+    # with the single-process grid programs on the same (2, 4) layout ----
+    from jax.sharding import Mesh
+    from gp_tpu.parallel import pchol2d
+
+    grid = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh2 = Mesh(grid, (pchol2d.AXR, pchol2d.AXC))
+    f2, g2 = pchol2d.pnll_vg2d(SE_ARD, jnp.asarray(hyp), x, y, mesh2,
+                               block=4)
+    np.testing.assert_allclose(result["f2"], float(f2), rtol=1e-12)
+    np.testing.assert_allclose(result["g2"], np.asarray(g2), rtol=1e-9,
+                               atol=1e-12)
+
+    res2 = pchol2d.pfit2d_hosted(SE_ARD, False, x, y,
+                                 jnp.asarray(np.clip(hyp, lb, ub)),
+                                 jnp.asarray(lb), jnp.asarray(ub), mesh2,
+                                 block=4, max_evals=12)
+    np.testing.assert_allclose(result["fit2_f"], float(res2.f), rtol=1e-10)
+    np.testing.assert_allclose(result["fit2_x"], np.asarray(res2.x),
+                               rtol=1e-8, atol=1e-10)
+
+    assert result["ok2"]
+    hyp_k2, L2, inv2, ok2 = pchol2d.pset_k2d(SE_ARD, jnp.asarray(hyp), x, y,
+                                             mesh2, block=4)
+    assert ok2
+    np.testing.assert_allclose(result["invKys2"], np.asarray(inv2),
+                               rtol=1e-9, atol=1e-12)
+    mu2, s22 = pchol2d.ppredict2d(SE_ARD, hyp_k2, x, L2, inv2, xs, mesh2,
+                                  block=4)
+    np.testing.assert_allclose(result["mu2"], np.asarray(mu2), rtol=1e-9)
+    np.testing.assert_allclose(result["s22"], np.asarray(s22), rtol=1e-8,
                                atol=1e-12)

@@ -197,9 +197,9 @@ def test_pfit2d_hosted_matches_single_device_fit():
 
 
 def test_train_distributed_routes_grid_mesh():
-    """GP.train_distributed on a ("rowg", "colg") mesh fits on the grid
-    and serves from the flattened 1-D posterior — same basin and
-    predictions as the 1-D route."""
+    """GP.train_distributed on a ("rowg", "colg") mesh fits, caches the
+    posterior, and SERVES entirely on the grid (round 5: no 1-D
+    fallback) — same basin and predictions as the 1-D route."""
     from gp_tpu import GP
     from gp_tpu.parallel.mesh import make_mesh
 
@@ -214,7 +214,180 @@ def test_train_distributed_routes_grid_mesh():
     b = GP(X, y)
     nll_b = b.train_distributed(_mesh(), block=4)
     np.testing.assert_allclose(nll_b, nll_a, rtol=1e-5)
+    # the cached posterior IS the grid layout, not a flattened 1-D one
+    mesh_b = b._post_dist[0]
+    assert {"rowg", "colg"} <= set(mesh_b.axis_names)
+    assert b._post_dist[2].ndim == 6                     # (Pr,Pc,nbr,nbc,B,B)
     mu_a, s2_a = a.batch_predict(Xs)
     mu_b, s2_b = b.batch_predict(Xs)
     np.testing.assert_allclose(mu_b, mu_a, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(s2_b, s2_a, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("pr,pc", [(2, 4), (4, 2)])
+def test_pchol2d_lookahead_bitwise(pr, pc):
+    """The one-panel lookahead pipeline must produce a bitwise-identical
+    factor to the sequential schedule (same contraction per output
+    element, split into two disjoint column slices) — mirror of
+    test_pchol.py's 1-D lookahead pin."""
+    n, B = 64, 8
+    K = _spd(n, 11)
+    Kb = pchol2d.blocked_layout_2d(jnp.asarray(K), pr, pc, B)
+    mesh = _mesh(pr, pc)
+
+    def run(la):
+        fn = shard_map(
+            lambda kl: pchol2d.pchol2d_local(kl[0, 0], pr, pc,
+                                             lookahead=la)[None, None],
+            mesh=mesh, in_specs=P(pchol2d.AXR, pchol2d.AXC),
+            out_specs=P(pchol2d.AXR, pchol2d.AXC))
+        return np.asarray(jax.jit(fn)(Kb))
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_psolve2d_multi_rhs():
+    """The grid solves accept (N, T) right-hand sides (the serving path's
+    variance batch) and match dense numpy."""
+    n, B, T = 64, 8, 5
+    K = _spd(n, 13)
+    rhs = np.random.default_rng(17).standard_normal((n, T))
+    Kb = pchol2d.blocked_layout_2d(jnp.asarray(K), PR, PC, B)
+    mesh = _mesh()
+
+    def body(kl, r):
+        L = pchol2d.pchol2d_local(kl[0, 0], PR, PC)
+        w = pchol2d.psolve2d_lower_local(L, r, PR, PC)
+        x = pchol2d.psolve2d_lower_t_local(L, w, PR, PC)
+        return w, x
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(pchol2d.AXR, pchol2d.AXC), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    w, x = jax.jit(fn)(Kb, jnp.asarray(rhs))
+    Lr = np.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(w), np.linalg.solve(Lr, rhs),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(K, rhs),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_pset_k2d_and_ppredict2d_match_single_device():
+    """Grid posterior cache + serving (pset_k2d / ppredict2d /
+    ppredict2d_with_grad) vs the single-device posterior — GP::_setK +
+    GP::_predict (GP.cpp:423-444, 273-297) entirely on the grid."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+    from gp_tpu.ops.kernels import get_kernel
+    from gp_tpu.parallel import pgp
+    from gp_tpu.parallel.mesh import make_mesh
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(21)
+    n, d = 100, 3
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(n)
+    Xs = rng.uniform(-2, 2, (12, d))
+    hyp = jnp.asarray(default_hyps(SE, X, y, 1e-3, False))
+    hyp = hyp.at[-2].set(np.log(0.1))
+    mesh = _mesh()
+
+    h2, L2, inv2, ok = pchol2d.pset_k2d(SE, hyp, X, y, mesh, block=4)
+    assert ok
+    mu2, s22 = pchol2d.ppredict2d(SE, h2, X, L2, inv2, Xs, mesh, block=4)
+    h1, f1, inv1, _ = exact.set_k(SE, hyp, jnp.asarray(X), jnp.asarray(y))
+    mu1, s21 = exact.predict(SE, h1, jnp.asarray(X), f1, inv1,
+                             jnp.asarray(Xs))
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu1),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s22), np.asarray(s21),
+                               rtol=1e-8, atol=1e-10)
+
+    # acquisition-path gradients vs the 1-D distributed twin
+    y2, gy2, s2g2, gs22 = pchol2d.ppredict2d_with_grad(
+        SE, h2, X, L2, inv2, Xs, mesh, block=4)
+    mesh1 = make_mesh(8, axis_name="rows")
+    h1d, L1d, inv1d, _ = pgp.pset_k(SE, hyp, X, y, mesh1, block=4)
+    y1, gy1, s2g1, gs21 = pgp.ppredict_with_grad(
+        SE, h1d, X, L1d, inv1d, Xs, mesh1, block=4)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(gy2), np.asarray(gy1),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2g2), np.asarray(s2g1),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gs22), np.asarray(gs21),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_pset_k2d_noise_inflation_rescue():
+    """A near-singular K (tiny noise, huge length scales) must recover
+    through the grid noise-inflation ladder — every attempt a grid
+    program, no 1-D re-entry (GP.cpp:423-444 semantics)."""
+    from gp_tpu.models.base import default_hyps
+    from gp_tpu.ops.kernels import get_kernel
+
+    SE = get_kernel("se_ard")
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-2, 2, (64, 2))
+    y = rng.standard_normal(64)
+    hyp = np.array(default_hyps(SE, X, y, 1e-3, False))
+    hyp[-2] = np.log(1e-14)
+    hyp[0] = hyp[1] = 10.0                   # K ~ rank-1: chol fails in f64
+    h, L, inv, ok = pchol2d.pset_k2d(SE, jnp.asarray(hyp), X, y, _mesh(),
+                                     block=4)
+    assert ok
+    assert float(h[-2]) > np.log(1e-14)      # noise was inflated
+    assert np.all(np.isfinite(np.asarray(inv)))
+
+
+@pytest.mark.parametrize("pr,pc", [(2, 4), (4, 2)])
+def test_grid_roundtrip_train_predict_save_load(tmp_path, pr, pc):
+    """The VERDICT round-5 'done' criterion: a grid-mesh train -> predict
+    -> save -> load -> restore -> predict round trip agreeing with the
+    1-D route to 1e-8, with the posterior staying on the grid
+    throughout."""
+    from gp_tpu import GP
+    from gp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    n, d = 96, 2
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(2 * X[:, 0]) + 0.05 * rng.standard_normal(n)
+    Xs = rng.uniform(-2, 2, (10, d))
+    mesh = _mesh(pr, pc)
+
+    m = GP(X, y)
+    m.train_distributed(mesh, block=4)
+    mu, s2 = m.batch_predict(Xs)
+
+    # 1-D route at the SAME hyperparameters: grid serving must agree to
+    # 1e-8 (independently-trained routes differ by optimizer rounding —
+    # basin-level agreement is pinned in
+    # test_train_distributed_routes_grid_mesh)
+    from gp_tpu.parallel import pgp
+    mesh1 = make_mesh(8, axis_name="rows")
+    h1, L1, inv1, ok1 = pgp.pset_k(m.kernel, m._hyps, m._x, m._y, mesh1,
+                                   block=4)
+    assert ok1
+    mu_a, s2_a = pgp.ppredict(m.kernel, h1, m._x, L1, inv1,
+                              m._as_batch(Xs), mesh1, block=4)
+    np.testing.assert_allclose(mu, np.asarray(mu_a), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(s2, np.asarray(s2_a), rtol=1e-8, atol=1e-8)
+
+    p = str(tmp_path / "grid.npz")
+    m.save(p)
+    m2 = GP.load(p)
+    with pytest.raises(RuntimeError, match="restore_distributed"):
+        m2.batch_predict(Xs)
+    m2.restore_distributed(mesh)
+    assert {"rowg", "colg"} <= set(m2._post_dist[0].axis_names)
+    mu2, s22 = m2.batch_predict(Xs)
+    np.testing.assert_allclose(mu2, mu, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(s22, s2, rtol=1e-10, atol=1e-12)
+
+    # wrong-layout meshes are rejected loudly
+    m3 = GP.load(p)
+    with pytest.raises(ValueError, match="grid"):
+        m3.restore_distributed(make_mesh(8, axis_name="rows"))
+    with pytest.raises(ValueError, match="grid"):
+        m3.restore_distributed(_mesh(pc, pr))  # transposed grid

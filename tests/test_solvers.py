@@ -102,14 +102,17 @@ def test_gp_with_qr_pivot_solver(toy_problem):
 
 
 def test_qr_stream_scale_guard(monkeypatch):
-    """A non-chol solver at stream scale must raise loudly at trace time
-    instead of silently entering the dense two-buffer K build (the
-    measured-OOM shape on one chip)."""
+    """A non-chol solver at stream scale whose dense build exceeds the
+    HBM budget must raise loudly at trace time instead of silently
+    entering the dense two-buffer K build (the measured-OOM shape on one
+    chip) — and a raised GP_TPU_HBM_BYTES re-enables it on backends
+    where the dense build fits (ADVICE round 4)."""
     from gp_tpu import SE_ARD
     from gp_tpu.models import exact
     from gp_tpu.models.base import default_hyps, to_opt_vec
 
     monkeypatch.setattr(exact, "_STREAM_MIN_N", 32)
+    monkeypatch.setenv("GP_TPU_HBM_BYTES", "1024")  # force the gate shut
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal((48, 3)))
     y = jnp.sin(X[:, 0])
@@ -122,3 +125,8 @@ def test_qr_stream_scale_guard(monkeypatch):
     # the chol strategy still routes (streamed) and stays finite
     v = exact.nll_raw(SE_ARD, hyp, X, y, solver=CHOL)
     assert np.isfinite(float(v))
+    # env override: with a budget that fits the dense build, QR past the
+    # N threshold runs (and agrees with chol)
+    monkeypatch.setenv("GP_TPU_HBM_BYTES", str(64 * 2 ** 30))
+    v_qr = exact.nll_raw(SE_ARD, hyp, X, y, solver=QR)
+    np.testing.assert_allclose(float(v_qr), float(v), rtol=1e-10)
