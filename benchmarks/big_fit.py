@@ -362,6 +362,11 @@ if __name__ == "__main__":
         sparse100k("fitc")
     elif cmd == "vfe100k":
         sparse100k("vfe")
+    elif cmd == "vfe100k-m1024":
+        # round 5: the capacity counterpart of the M=512 degeneracy
+        # record — at M=1024 the Titsias trace penalty should no longer
+        # dominate (VERDICT round-5 item 5)
+        sparse100k("vfe", m=1024)
     elif cmd == "dist-fit":
         dist_fit()
     elif cmd == "refine":

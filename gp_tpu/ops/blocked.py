@@ -35,6 +35,27 @@ from jax.scipy.linalg import solve_triangular
 # slabbed.use_slabs().
 
 
+def _pallas_leaf_enabled(dtype) -> bool:
+    """Fused Pallas (L, L^{-1}) leaf (ops/pallas_chol.pallas_chol_inv):
+    one kernel dispatch replaces the chol+trsm custom-call pair on the
+    serial leaf chain.  GP_TPU_PALLAS_LEAF=1 opts in; default OFF —
+    measured on v5e (benchmarks/leaf_ab.py, round 5): the fused kernel
+    LOST 1.4 ms at N=8192 / 3.5 ms at N=16384 end-to-end (Mosaic launch
+    overhead per fused call exceeds the ~12 us XLA custom-call pair it
+    replaces), so the stock chol+trsm leaves remain the default.  Kept
+    as a correct, VJP-tested building block (tests/test_pallas_chol.py)."""
+    import os
+
+    import jax
+
+    v = os.environ.get("GP_TPU_PALLAS_LEAF")
+    if v is None:
+        return False
+    return (v not in ("0", "false", "")
+            and (jax.default_backend() == "tpu"
+                 and jnp.dtype(dtype) == jnp.float32))
+
+
 def _chol_inv_block(Kb, block: int, base_block: int, base_fn,
                     need_inv: bool = True):
     """(L, T=L^-1) of one diagonal block, FUSED: the recursion's sub-block
@@ -49,9 +70,18 @@ def _chol_inv_block(Kb, block: int, base_block: int, base_fn,
     non-dot chain per block drops from ~2x(m/b) to (m/b) triangular
     custom-calls.  need_inv=False (the caller's LAST panel needs no
     inverse) skips T entirely.
+
+    At the leaf, when _pallas_leaf_enabled, the chol+trsm pair collapses
+    further into ONE fused Pallas dispatch (pallas_chol_inv) — the leaf
+    chain is dispatch-overhead bound (~12 us/op, BASELINE.md round-4
+    residue), so halving the op count halves its serial wall.
     """
     m = Kb.shape[0]
     if m <= base_block:
+        if base_fn is None and _pallas_leaf_enabled(Kb.dtype):
+            from .pallas_chol import pallas_chol_inv
+            L, T = pallas_chol_inv(Kb)
+            return L, (T if need_inv else None)
         L = (base_fn or jnp.linalg.cholesky)(Kb)
         if not need_inv:
             return L, None

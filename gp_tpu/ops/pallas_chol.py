@@ -177,6 +177,98 @@ def _chol_panel_bwd(w, L, Lbar):
 pallas_cholesky_panel.defvjp(_chol_panel_fwd, _chol_panel_bwd)
 
 
+def _chol_inv_kernel(k_ref, l_ref, t_ref, *, b: int):
+    """Fused leaf: (L, T = L^{-1}) of one VMEM-resident block in ONE
+    kernel dispatch.
+
+    The blocked factorization's serial leaf chain is chol(base) +
+    trsm(base) per leaf — two ~12 us dispatch-bound custom-calls whose
+    panel dependencies XLA cannot overlap (BASELINE.md round-4 residue:
+    2.1 ms over 128 leaf ops at N=8192).  Here the forward-substitution
+    recurrence for T rides the SAME rank-1 loop as the factorization
+    (row j of T finalizes exactly when pivot j is available), so one
+    dispatch replaces the pair.  O(b^2) masked VPU work per step for
+    each of the two updates — at b <= 256 both are far below the
+    fixed dispatch overhead that dominates the leaf chain.
+    """
+    A = k_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)     # (b, 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)    # (b, b)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)    # (b, b)
+
+    def body(j, carry):
+        A, O, T = carry
+        colv = jnp.sum(jnp.where(cols2 == j, A, 0.0), axis=1,
+                       keepdims=True)                          # (b, 1)
+        d = jnp.sum(jnp.where(rows == j, colv, 0.0))
+        inv = jax.lax.rsqrt(d)
+        l = jnp.where(rows > j, colv * inv,
+                      jnp.where(rows == j, d * inv, 0.0))      # sqrt(d)=d*inv
+        outer = jax.lax.dot_general(
+            l, l, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=l.dtype,
+            precision=jax.lax.Precision.HIGHEST)               # (b, b)
+        A = A - outer
+        O = jnp.where(cols2 == j, l, O)
+        # forward substitution on the identity, interleaved: row j of T
+        # is final once pivot j exists — scale it, then push the rank-1
+        # update into the rows below (T[i,:] -= L[i,j] * T[j,:]/L[j,j])
+        tj = jnp.sum(jnp.where(rows2 == j, T, 0.0), axis=0,
+                     keepdims=True) * inv                      # (1, b)
+        lbelow = jnp.where(rows > j, colv * inv, 0.0)          # (b, 1)
+        T = T - lbelow * tj
+        T = jnp.where(rows2 == j, tj, T)
+        return A, O, T
+
+    eye = jnp.where(rows2 == cols2, jnp.ones((), k_ref.dtype), 0.0)
+    _, O, T = jax.lax.fori_loop(
+        0, b, body, (A, jnp.zeros_like(A), eye))
+    l_ref[:] = O
+    t_ref[:] = T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inv_call(K, interpret: bool):
+    b = K.shape[0]
+    import contextlib
+    ctx = contextlib.nullcontext() if interpret else jax.enable_x64(False)
+    with ctx:
+        return pl.pallas_call(
+            functools.partial(_chol_inv_kernel, b=b),
+            out_shape=(jax.ShapeDtypeStruct((b, b), K.dtype),
+                       jax.ShapeDtypeStruct((b, b), K.dtype)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(K)
+
+
+@jax.custom_vjp
+def pallas_chol_inv(K):
+    """(L, L^{-1}) of one VMEM-resident block, one fused dispatch."""
+    interpret = jax.default_backend() != "tpu"
+    return _chol_inv_call(K, interpret)
+
+
+def _chol_inv_fwd(K):
+    L, T = pallas_chol_inv(K)
+    return (L, T), (L, T)
+
+
+def _chol_inv_bwd(res, cts):
+    L, T = res
+    Lbar, Tbar = cts
+    # d(L^{-1}) = -L^{-1} dL L^{-1}  =>  Lbar += -T^T Tbar T^T; the
+    # standard Cholesky pullback then maps the combined Lbar to Kbar
+    # (its tril projection discards the structurally-zero upper part)
+    Lbar_tot = Lbar - T.T @ (Tbar @ T.T)
+    return _chol_bwd(L, Lbar_tot)
+
+
+pallas_chol_inv.defvjp(_chol_inv_fwd, _chol_inv_bwd)
+
+
 @jax.custom_vjp
 def pallas_cholesky(K):
     """Lower Cholesky factor of a single VMEM-resident block (<= ~1024)."""

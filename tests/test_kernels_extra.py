@@ -1,4 +1,7 @@
-"""Extra covariance families (Matern-5/2, -3/2, RQ): PSD, grads, model fit."""
+"""Extra covariance families (Matern-5/2, -3/2, RQ): PSD, grads, model
+fit, and parity against an INDEPENDENT NumPy-f64 closed-form oracle
+(round 5: same contract discipline as the SE goldens — the implementation
+below shares no code with gp_tpu.ops.kernels_extra)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +12,86 @@ from gp_tpu import GP, get_kernel
 
 NAMES = ["matern52", "matern32", "rq",
          "matern52_iso", "matern32_iso", "rq_iso"]
+
+
+# -- independent NumPy-f64 oracle (textbook formulas, no JAX) --------------
+
+def _oracle_dists(X1, X2, ell):
+    """Pairwise Euclidean distance of inputs scaled per-dim by 1/ell."""
+    A = np.asarray(X1, np.float64) / ell
+    B = np.asarray(X2, np.float64) / ell
+    d2 = (np.sum(A * A, 1)[:, None] + np.sum(B * B, 1)[None, :]
+          - 2.0 * A @ B.T)
+    return np.sqrt(np.maximum(d2, 0.0)), np.maximum(d2, 0.0)
+
+
+def oracle_k(name, hyp, X1, X2):
+    """Covariance matrix from the published closed forms (RW book eq.
+    4.17 / 4.16 / 4.19).  hyp follows gp_tpu packing: ARD
+    [log l_1..d, log sf (, log alpha)]; iso [log l, log sf (, log alpha)].
+    """
+    hyp = np.asarray(hyp, np.float64)
+    d = np.asarray(X1).shape[1]
+    iso = name.endswith("_iso")
+    nl = 1 if iso else d
+    ell = np.exp(hyp[:nl]) * np.ones(d)
+    sf2 = np.exp(2.0 * hyp[nl])
+    r, d2 = _oracle_dists(X1, X2, ell)
+    if name.startswith("matern52"):
+        a = np.sqrt(5.0) * r
+        return sf2 * (1.0 + a + a * a / 3.0) * np.exp(-a)
+    if name.startswith("matern32"):
+        a = np.sqrt(3.0) * r
+        return sf2 * (1.0 + a) * np.exp(-a)
+    if name.startswith("rq"):
+        alpha = np.exp(hyp[nl + 1])
+        return sf2 * (1.0 + d2 / (2.0 * alpha)) ** (-alpha)
+    raise ValueError(name)
+
+
+def oracle_nll(name, hyp, X, y):
+    """Exact-GP NLL from the oracle covariance, pure NumPy f64
+    (hyp = [cov hyps..., log sigma_n, mean])."""
+    hyp = np.asarray(hyp, np.float64)
+    n = X.shape[0]
+    K = oracle_k(name, hyp[:-2], X, X) + np.exp(2.0 * hyp[-2]) * np.eye(n)
+    L = np.linalg.cholesky(K)
+    r = np.asarray(y, np.float64) - hyp[-1]
+    w = np.linalg.solve(L, r)
+    return (0.5 * w @ w + np.sum(np.log(np.diag(L)))
+            + 0.5 * n * np.log(2 * np.pi))
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_k_and_nll(name, data):
+    """k / diag_k / NLL vs the independent f64 closed-form oracle at
+    1e-10 — including off-default hyps (anisotropic lengthscales,
+    non-unit signal, alpha != 1 for RQ)."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    X, y, Xs, _ = data
+    k = get_kernel(name)
+    chyp = np.array(k.default_hyp(X, y), np.float64)
+    # push the hyps off the default point so the parity is not a
+    # coincidence of symmetric defaults
+    nl = 1 if name.endswith("_iso") else X.shape[1]
+    chyp[:nl] += np.linspace(-0.4, 0.3, nl)
+    chyp[nl] += 0.2
+    if name.startswith("rq"):
+        chyp[nl + 1] = np.log(0.7)
+
+    K = np.asarray(k.k(jnp.asarray(chyp), jnp.asarray(X), jnp.asarray(Xs)))
+    K_o = oracle_k(name, chyp, X, Xs)
+    np.testing.assert_allclose(K, K_o, rtol=1e-10, atol=1e-12)
+
+    dk = np.asarray(k.diag_k(jnp.asarray(chyp), jnp.asarray(X)))
+    np.testing.assert_allclose(dk, np.diag(oracle_k(name, chyp, X, X)),
+                               rtol=1e-10)
+
+    hyp = np.concatenate([chyp, [np.log(0.1), float(np.mean(y))]])
+    f = float(exact.nll(k, jnp.asarray(hyp), jnp.asarray(X), jnp.asarray(y)))
+    np.testing.assert_allclose(f, oracle_nll(name, hyp, X, y), rtol=1e-10)
 
 
 @pytest.fixture(scope="module")

@@ -86,3 +86,51 @@ def test_panel_kernel_grad():
     g_ref = jax.grad(lambda s: f(s, jnp.linalg.cholesky))(0.2)
     g_p = jax.grad(lambda s: f(s, lambda K: pallas_cholesky_panel(K, 16)))(0.2)
     np.testing.assert_allclose(float(g_p), float(g_ref), rtol=1e-9)
+
+
+# -- fused (L, L^{-1}) leaf (round 5: pallas_chol_inv) ----------------------
+
+@pytest.mark.parametrize("n", [8, 32, 128])
+def test_chol_inv_matches_stock(n):
+    from jax.scipy.linalg import solve_triangular
+
+    from gp_tpu.ops.pallas_chol import pallas_chol_inv
+
+    K = _spd(n, n + 1)
+    L, T = pallas_chol_inv(K)
+    Lr = np.linalg.cholesky(np.asarray(K))
+    np.testing.assert_allclose(np.asarray(L), Lr, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(T), np.linalg.inv(Lr),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_chol_inv_vjp_matches_stock():
+    """Combined (Lbar, Tbar) pullback vs jax.vjp of the stock pair."""
+    from jax.scipy.linalg import solve_triangular
+
+    from gp_tpu.ops.pallas_chol import pallas_chol_inv
+
+    n = 24
+    K = _spd(n, 9)
+    rng = np.random.default_rng(11)
+    Lbar = jnp.asarray(np.tril(rng.standard_normal((n, n))))
+    Tbar = jnp.asarray(np.tril(rng.standard_normal((n, n))))
+
+    def ref(K):
+        L = jnp.linalg.cholesky(K)
+        T = solve_triangular(L, jnp.eye(n, dtype=K.dtype), lower=True)
+        return L, T
+
+    _, vjp_ref = jax.vjp(ref, K)
+    _, vjp_p = jax.vjp(pallas_chol_inv, K)
+    np.testing.assert_allclose(np.asarray(vjp_p((Lbar, Tbar))[0]),
+                               np.asarray(vjp_ref((Lbar, Tbar))[0]),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_chol_inv_nan_on_indefinite():
+    from gp_tpu.ops.pallas_chol import pallas_chol_inv
+
+    K = _spd(32, 3) - 80.0 * jnp.eye(32)
+    L, T = pallas_chol_inv(K)
+    assert not np.all(np.isfinite(np.asarray(L)))
