@@ -364,9 +364,24 @@ if __name__ == "__main__":
         sparse100k("vfe")
     elif cmd == "vfe100k-m1024":
         # round 5: the capacity counterpart of the M=512 degeneracy
-        # record — at M=1024 the Titsias trace penalty should no longer
-        # dominate (VERDICT round-5 item 5)
+        # record.  MEASURED WALL on this image: the N=102400 x M=1024
+        # f64 program crashes the remote tpu_compile_helper (HTTP 500,
+        # reproduced twice), while N=51200/M=1024 and N=102400/M=768
+        # both compile and run — the honest ceiling is the helper, not
+        # the 6.7 GiB HBM envelope.  See vfe100k-m768.
         sparse100k("vfe", m=1024)
+    elif cmd == "vfe100k-m768":
+        # N=102400, M=768: the VALUE program compiles and runs, but the
+        # first NLL+GRADIENT evaluation dies RESOURCE_EXHAUSTED (AD peak
+        # of the f64 (N, M) algebra exceeds the chip; measured round 5)
+        sparse100k("vfe", m=768)
+    elif cmd == "vfe50k-m1024":
+        # round 5: the VFE capacity record that RUNS on one chip —
+        # N=51200 (the exact-GP headline N) with M=1024: double the
+        # M=512 capacity whose N=102400 record is degenerate.  The
+        # N=102400 twins are measured walls: M=1024 crashes the remote
+        # compile helper (HTTP 500 twice), M=768 OOMs in the gradient.
+        sparse100k("vfe", n=51200, m=1024)
     elif cmd == "dist-fit":
         dist_fit()
     elif cmd == "refine":

@@ -203,7 +203,12 @@ def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
 
 def _se_forward(inv_l, sf2, x1, x2):
     if (x1.shape[0] < _MIN_ROWS or x2.shape[0] < _MIN_ROWS
-            or not _on_tpu()):
+            or not _on_tpu()
+            or jnp.dtype(x1.dtype) == jnp.float64):
+        # f64 must take the jnp path: the Mosaic kernel traces under
+        # enable_x64(False), where .astype(float64) silently degrades to
+        # f32 and the VMEM store dtype-mismatches (hit by the sparse
+        # models, which compute f64 on TPU, once M >= _MIN_ROWS)
         return sf2 * jnp.exp(-0.5 * sqdist(x1 * inv_l, x2 * inv_l))
     return se_matrix(inv_l, sf2, x1, x2)
 
@@ -292,7 +297,8 @@ seiso_k_pallas.defvjp(_seiso_fwd, _seiso_bwd)
 def _se_noise_forward(inv_l, sf2, sn2, x, n_real: int):
     n = x.shape[0]
     dvals = jnp.where(jnp.arange(n) < n_real, sf2 + sn2, sf2)
-    if n < _MIN_ROWS or not _on_tpu():
+    if (n < _MIN_ROWS or not _on_tpu()
+            or jnp.dtype(x.dtype) == jnp.float64):  # see _se_forward
         K0 = sf2 * jnp.exp(-0.5 * sqdist(x * inv_l, x * inv_l))
         ids = jnp.arange(n)
         return K0.at[ids, ids].set(dvals.astype(K0.dtype))
