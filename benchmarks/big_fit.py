@@ -243,7 +243,7 @@ def eval50k(n=51200, d=10, tile=2048, reps=3):
     return out
 
 
-def sparse100k(model_name="fitc", n=102400, m=512, d=10):
+def sparse100k(model_name="fitc", n=102400, m=512, d=10, init_from=None):
     """Full FITC/VFE MLE fit at the BASELINE sparse config (N=100k+,
     M=512) on one chip: the O(N M^2) regime the sparse models exist for,
     at an N the exact path cannot hold.  Inducing = the LAST m training
@@ -256,15 +256,25 @@ def sparse100k(model_name="fitc", n=102400, m=512, d=10):
     Xs, ys = make_data(2000, d, seed=7)
     model = (FITC if model_name == "fitc" else VFE)(X, y)
     model.set_inducing(X[-m:])
+    init = None
+    if init_from is not None:
+        # informed init from a recorded fit (e.g. the exact-GP hyps):
+        # the VFE bound's noise-only basin traps L-BFGS from the default
+        # init even when the data-fit basin is far better (round-5 f64
+        # check: -26961 vs +65817 at N=51200/M=1024) — exactly the
+        # multistart/MVMO scenario; sparse hyp layout equals the exact
+        # layout for SE-ARD (cov..., log sn, mean)
+        init = json.load(open(init_from))["hyp"]
     t0 = time.perf_counter()
-    nll = model.train()
+    nll = model.train(init_hyps=init)
     wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     mu = model.batch_predict_y(Xs)
     pred_wall = time.perf_counter() - t0
     rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys) ** 2)))
+    tag = "_init" if init_from is not None else ""
     out = {
-        "metric": f"tpu_{model_name}_fit_n{n}_m{m}_d{d}",
+        "metric": f"tpu_{model_name}_fit_n{n}_m{m}_d{d}{tag}",
         "value": round(wall, 1), "unit": "s (incl. compile)",
         "final_nll": float(nll), "heldout_rmse": round(rmse, 4),
         "predict_2000_s": round(pred_wall, 2),
@@ -272,8 +282,10 @@ def sparse100k(model_name="fitc", n=102400, m=512, d=10):
         "hyp": [float(v) for v in model.get_hyp()],
         "inducing": "last_m_rows",
     }
+    if init_from is not None:
+        out["init_from"] = os.path.basename(init_from)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "golden", f"tpu_{model_name}_n{n}_m{m}.json")
+                        "golden", f"tpu_{model_name}_n{n}_m{m}{tag}.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out))
     return out
@@ -382,6 +394,14 @@ if __name__ == "__main__":
         # N=102400 twins are measured walls: M=1024 crashes the remote
         # compile helper (HTTP 500 twice), M=768 OOMs in the gradient.
         sparse100k("vfe", n=51200, m=1024)
+    elif cmd == "vfe50k-m1024-init":
+        # same config, initialized from the recorded exact-GP fit: the
+        # default init lands in the noise-only basin although the
+        # data-fit basin is far lower (see sparse100k docnote) — the
+        # informed-init run is the capacity record
+        sparse100k("vfe", n=51200, m=1024, init_from=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "golden",
+            "tpu_fit_n51200.json"))
     elif cmd == "dist-fit":
         dist_fit()
     elif cmd == "refine":

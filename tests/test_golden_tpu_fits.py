@@ -151,3 +151,44 @@ def test_tpu_vfe_n102400_record():
                               jnp.asarray(X[-m:]), (0.1 * 1e-3) ** 2))
     np.testing.assert_allclose(v, rec["oracle_f64_nll"], rtol=1e-7)
     assert rec["vfe_bound_at_fitc_opt"] > 100 * rec["final_nll"]
+
+
+def test_tpu_vfe_n51200_m1024_capacity_pair():
+    """Round 5: the VFE capacity story completed as a PAIR of records at
+    N=51200 (the exact-GP headline N), M=1024.
+
+    * default init -> the noise-only degenerate point (bound +65817,
+      RMSE 0.89 = constant predictor) — but UNLIKE the M=512/N=102400
+      degeneracy (where the bound genuinely prefers underfitting), here
+      the data-fit basin is far LOWER (f64 bound at the exact-GP hyps:
+      -26961): the degeneracy at this capacity is an optimizer-basin
+      trap, exactly the multi-start scenario;
+    * init from the recorded exact-GP fit -> the data-fit basin:
+      bound -23439 (f64, default jitter), held-out RMSE 0.1362 — better
+      than FITC's 0.169 at M=512/N=102400, approaching the exact GP's
+      0.105.
+
+    Pins: library-f64 NLL at both recorded optima, and the basin facts.
+    N=102400 variants are measured walls (recorded in big_fit.py):
+    M=1024 crashes the remote compile helper, M=768's gradient program
+    is RESOURCE_EXHAUSTED."""
+    import sys
+    sys.path.insert(0, os.path.dirname(GOLDEN))
+    from synth import make_data
+
+    import jax.numpy as jnp
+    from gp_tpu.models import vfe as vfe_mod
+
+    n, m = 51200, 1024
+    rec = json.load(open(os.path.join(GOLDEN,
+                                      "tpu_vfe_n51200_m1024_init.json")))
+    deg = json.load(open(os.path.join(GOLDEN, "tpu_vfe_n51200_m1024.json")))
+    X, y = make_data(n, 10, seed=rec.get("seed", 42))
+    u = jnp.asarray(X[-m:])
+    for r in (rec, deg):
+        v = float(vfe_mod.nll_raw(SE_ARD, jnp.asarray(r["hyp"], jnp.float64),
+                                  jnp.asarray(X), jnp.asarray(y), u, 1e-8))
+        np.testing.assert_allclose(v, r["oracle_f64_nll"], rtol=1e-7)
+    assert rec["heldout_rmse"] < 0.2          # data-fit basin
+    assert deg["heldout_rmse"] > 0.8          # the default-init trap
+    assert rec["oracle_f64_nll"] < deg["oracle_f64_nll"] - 10000.0
