@@ -331,6 +331,47 @@ def dist_fit(n=16384, d=10):
     return out
 
 
+def grid_fit(n=16384, d=10):
+    """GP.train_distributed on a (1, 1) ("rowg", "colg") grid mesh ON the
+    real chip — the 2-D analog of dist_fit: every grid program
+    (pchol2d_local lookahead factorization, grid solves, pset_k2d rescue,
+    ppredict2d serving, grid-native final NLL) is the REAL pod code
+    executing on TPU hardware; only the collectives are trivial at
+    Pr=Pc=1."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gp_tpu import GP
+    from gp_tpu.parallel import pchol2d
+
+    X, y = make_data(n, d)
+    Xs, ys = make_data(2000, d, seed=7)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                (pchol2d.AXR, pchol2d.AXC))
+    gp = GP(X, y)
+    t0 = time.perf_counter()
+    nll = gp.train_distributed(mesh)
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mu, s2 = gp.batch_predict(Xs)
+    pred_wall = time.perf_counter() - t0
+    rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys) ** 2)))
+    out = {
+        "metric": f"tpu_grid_fit_1x1_n{n}_d{d}",
+        "value": round(wall, 1), "unit": "s (incl. compile)",
+        "final_nll": float(nll), "heldout_rmse": round(rmse, 4),
+        "predict_2000_s": round(pred_wall, 2),
+        "opt_evals": int(gp.last_opt_result.evals),
+        "backend": jax.default_backend(), "seed": 42,
+        "hyp": [float(v) for v in gp.get_hyp()],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", f"tpu_grid_fit_n{n}.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+    return out
+
+
 def refine(hyp_path):
     """Recompute the chip NLL at a recorded optimum via exact.nll_refined
     (f32 MXU factor + iterative-refinement data fit + stochastically
@@ -385,7 +426,11 @@ if __name__ == "__main__":
     elif cmd == "vfe100k-m768":
         # N=102400, M=768: the VALUE program compiles and runs, but the
         # first NLL+GRADIENT evaluation dies RESOURCE_EXHAUSTED (AD peak
-        # of the f64 (N, M) algebra exceeds the chip; measured round 5)
+        # of the f64 (N, M) algebra exceeds the chip; measured round 5).
+        # A jax.checkpoint-wrapped gradient was also probed: its compile
+        # crashes the remote helper (HTTP 500) like the M=1024 value
+        # program — the N=102400 gradient is walled on this image either
+        # way; the capacity record lives at N=51200/M=1024.
         sparse100k("vfe", m=768)
     elif cmd == "vfe50k-m1024":
         # round 5: the VFE capacity record that RUNS on one chip —
@@ -404,6 +449,8 @@ if __name__ == "__main__":
             "tpu_fit_n51200.json"))
     elif cmd == "dist-fit":
         dist_fit()
+    elif cmd == "grid-fit":
+        grid_fit()
     elif cmd == "refine":
         refine(sys.argv[2])
     else:
