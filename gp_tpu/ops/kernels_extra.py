@@ -40,6 +40,11 @@ def _safe_r(d2):
 def _matern_k(nu_c: float):
     """nu_c = sqrt(3) (Matern-3/2) or sqrt(5) (Matern-5/2)."""
     five_half = abs(nu_c ** 2 - 5.0) < 1e-12
+    # weak-typed Python float, NOT a numpy f64 scalar: with x64 enabled
+    # (the library default) a numpy scalar is strong-typed and silently
+    # promotes the entire covariance to f64 — measured 1126 ms (emulated
+    # f64 Cholesky) vs ~25 ms for the f32 NLL at N=8000 on v5e (round 5)
+    nu_c = float(nu_c)
 
     def k_from(inv_l, sf2, x1, x2):
         r = _safe_r(_scaled_d2(inv_l, x1, x2))

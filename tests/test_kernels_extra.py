@@ -120,6 +120,21 @@ def test_psd_and_diag(name, data):
 
 
 @pytest.mark.parametrize("name", NAMES)
+def test_k_preserves_f32(name, data):
+    """The covariance must NOT silently promote f32 inputs to f64: a
+    strong-typed numpy scalar inside the kernel formula promotes the
+    whole K, putting the TPU factorization on the emulated-f64 path —
+    measured 42x slowdown for Matern at N=8000 before the round-5 fix
+    (1126 ms vs 25 ms per NLL)."""
+    X, y, _, _ = data
+    k = get_kernel(name)
+    chyp = jnp.asarray(np.asarray(k.default_hyp(X, y)), jnp.float32)
+    X32 = jnp.asarray(X, jnp.float32)
+    assert k.k(chyp, X32, X32).dtype == jnp.float32
+    assert k.diag_k(chyp, X32).dtype == jnp.float32
+
+
+@pytest.mark.parametrize("name", NAMES)
 def test_hyp_gradients_finite(name, data):
     """Gradients finite everywhere incl. the r=0 diagonal (safe-sqrt)."""
     X, y, _, _ = data
