@@ -155,10 +155,12 @@ def nll_vg_raw(kernel: KernelSpec, hyp, x, y):
     # opaque custom-call output (see pallas_kernels._se_tile_kernel_diag)
     build = lambda c, s2: get_k_noise(kernel)(c, s2, x, n)
     if chol_mod._use_blocked(n) and n % blk:
-        if kernel.name.startswith("se_"):
-            # capacity path: decoy rows whose SE covariances underflow to
-            # exact zero — every op runs at the panel multiple with no
-            # pad/slice/layout conversions (measured ~4 ms/eval at N=8000)
+        if kernel.far_pad_ok:
+            # capacity path: decoy rows whose covariances underflow to
+            # exact zero (exponential-decay families: SE + Matern —
+            # KernelSpec.far_pad_ok) — every op runs at the panel
+            # multiple with no pad/slice/layout conversions (measured
+            # ~4 ms/eval at N=8000)
             return _nll_vg_far_padded(kernel, hyp, x, y, blk)
         # non-SE kernels: pad ONCE to the panel multiple and keep the
         # factor padded through logdet (pad diag = 1 contributes 0) and

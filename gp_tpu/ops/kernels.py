@@ -53,6 +53,14 @@ class KernelSpec(NamedTuple):
     # (an N^2 write + re-reads).  None -> callers materialize Q and use
     # jax.vjp of k_noise.
     k_noise_vjp_q: Callable | None = None
+    # covariance decays fast enough that cross-terms to the far-pad decoy
+    # rows (models/exact._nll_vg_far_padded: scaled squared distance
+    # >= ~2e4) UNDERFLOW TO EXACT ZERO in the compute dtype — true for
+    # exponential-decay families (SE: exp(-1e4); Matern: exp(-sqrt(3)
+    # *141) = e^-244, both below the f32 exp cutoff ~-103), FALSE for
+    # polynomial decay (RQ never underflows).  Gates the decoy-row
+    # capacity objective.
+    far_pad_ok: bool = False
 
 
 def _generic_k_noise(spec_k, spec_diag_k):
@@ -187,6 +195,7 @@ SE_ARD = KernelSpec(
     hyp_range=_seard_hyp_range,
     k_noise=_generic_k_noise(_seard_k, _seard_diag_k),
     k_noise_vjp_q=_se_noise_vjp_q(True),
+    far_pad_ok=True,
 )
 
 
@@ -237,6 +246,7 @@ SE_ISO = KernelSpec(
     hyp_range=_seiso_hyp_range,
     k_noise=_generic_k_noise(_seiso_k, _seiso_diag_k),
     k_noise_vjp_q=_se_noise_vjp_q(False),
+    far_pad_ok=True,
 )
 
 

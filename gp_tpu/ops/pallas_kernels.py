@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,8 +46,25 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
-    """One (tm, tn) tile of K = sf2 exp(-0.5 |a-b|^2)."""
+# covariance forms the fused tile kernels can evaluate from the scaled
+# squared distance (inputs pre-divided by lengthscale).  "se" is the
+# reference family; "m52"/"m32" are the Matern extras (kernels_extra.py)
+# — same MXU cross-product, different VMEM elementwise map.
+_M52_A = float(np.sqrt(5.0))
+_M32_A = float(np.sqrt(3.0))
+_R_FLOOR = 1e-32         # matches kernels_extra._R_FLOOR (safe-sqrt at r=0)
+
+
+def _cov_from_sq(form: str, sq, sf2):
+    if form == "se":
+        return sf2 * jnp.exp(-0.5 * sq)
+    ar = (_M52_A if form == "m52" else _M32_A) * jnp.sqrt(sq + _R_FLOOR)
+    poly = 1.0 + ar + (ar * ar / 3.0 if form == "m52" else 0.0)
+    return sf2 * poly * jnp.exp(-ar)
+
+
+def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref, *, form: str = "se"):
+    """One (tm, tn) tile of K(form) from pre-scaled inputs."""
     a = x1_ref[:]                                   # (tm, dp)
     b = x2_ref[:]                                   # (tn, dp)
     cross = jax.lax.dot_general(
@@ -58,10 +76,11 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref):
     n1 = jnp.sum(a * a, axis=1, keepdims=True)      # (tm, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T    # (1, tn)
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
-    out_ref[:] = (sf2_ref[0, 0] * jnp.exp(-0.5 * sq)).astype(out_ref.dtype)
+    out_ref[:] = _cov_from_sq(form, sq, sf2_ref[0, 0]).astype(out_ref.dtype)
 
 
-def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref):
+def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref, *,
+                         form: str = "se"):
     """Symmetric-build tile with the diagonal OVERWRITTEN in-VMEM.
 
     Any post-hoc diagonal fix on the assembled K costs a full N^2
@@ -82,7 +101,7 @@ def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref):
     n1 = jnp.sum(a * a, axis=1, keepdims=True)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
-    tile = sf2_ref[0, 0] * jnp.exp(-0.5 * sq)
+    tile = _cov_from_sq(form, sq, sf2_ref[0, 0])
     tm, tn = tile.shape
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -93,8 +112,10 @@ def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref):
     out_ref[:] = tile.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
-def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret",
+                                             "form"))
+def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool,
+                      form: str = "se"):
     m, dp = x1s.shape
     n = x2s.shape[0]
     # enable_x64(False): the library enables global x64 (CPU parity), which
@@ -107,7 +128,7 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
            else jax.enable_x64(False))
     with ctx:
         return pl.pallas_call(
-            _se_tile_kernel,
+            functools.partial(_se_tile_kernel, form=form),
             out_shape=jax.ShapeDtypeStruct((m, n), x1s.dtype),
             grid=(m // tm, n // tn),
             in_specs=[
@@ -124,15 +145,16 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool):
         )(x1s, x2s, sf2)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "interpret"))
-def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("t", "interpret", "form"))
+def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool,
+                           form: str = "se"):
     m, dp = xs.shape
     import contextlib
     ctx = (contextlib.nullcontext() if interpret
            else jax.enable_x64(False))
     with ctx:
         return pl.pallas_call(
-            _se_tile_kernel_diag,
+            functools.partial(_se_tile_kernel_diag, form=form),
             out_shape=jax.ShapeDtypeStruct((m, m), xs.dtype),
             grid=(m // t, m // t),
             in_specs=[
@@ -151,11 +173,14 @@ def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool):
         )(xs, xs, sf2, dvals)
 
 
-def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None):
+def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None,
+                   form: str = "se"):
     """Symmetric K(X, X) with diag OVERWRITTEN by dvals, fused single-pass.
 
     Rows are padded to the tile size (padded dvals = 1, harmless: the pad
     block is sliced off).  See _se_tile_kernel_diag for why this exists.
+    `form` selects the covariance map from the scaled squared distance
+    ("se" | "m52" | "m32" — see _cov_from_sq).
     """
     x = jnp.asarray(x)
     n, d = x.shape
@@ -168,12 +193,14 @@ def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     K = _se_matrix_diag_padded(xs, jnp.asarray(sf2, dtype).reshape(1, 1),
-                               dv, t, interpret)
+                               dv, t, interpret, form)
     return K[:n, :n]
 
 
-def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
-    """K = sf2 * exp(-0.5 |x1/l - x2/l|^2), fused single-pass build.
+def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None,
+              form: str = "se"):
+    """K(form) from pre-scaled distances, fused single-pass build
+    (default form "se": sf2 * exp(-0.5 |x1/l - x2/l|^2)).
 
     inv_l: per-dim inverse lengthscales (d,) [ARD] or scalar [iso].
     """
@@ -193,7 +220,7 @@ def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     K = _se_matrix_padded(x1s, x2s, jnp.asarray(sf2, dtype).reshape(1, 1),
-                          tm, tn, interpret)
+                          tm, tn, interpret, form)
     return K[:m, :n]
 
 
@@ -360,3 +387,136 @@ def _seiso_noise_bwd(n_real, res, G):
 
 
 seiso_k_noise_pallas.defvjp(_seiso_noise_fwd, _seiso_noise_bwd)
+
+
+# --------------------------------------------------------------------------
+# Matern-5/2 / -3/2 fused builds + closed-form backward (round 5)
+#
+# Same MXU cross-product tile as the SE kernels, different VMEM
+# elementwise map (form "m52"/"m32" in _cov_from_sq).  The backward rides
+# _se_bwd_terms's quadratic expansion unchanged: for any stationary
+# k(d2), g_log_l_i = sum E2 (a_i-b_i)^2 and the input gradients take the
+# identical E2-matvec shape with E2 = -2 G dk/d(d2) — the SE case is just
+# E2 = G o K (dk/dd2 = -k/2).  For Matern:
+#
+#   m52:  dk/dd2 = -sf2 (a^2/6)(1 + a r) e^{-a r},   a = sqrt(5)
+#   m32:  dk/dd2 = -sf2 (a^2/2) e^{-a r},            a = sqrt(3)
+#
+# d2 is recomputed in the backward via one sqdist (O(N^2 d) MXU — same
+# cost class as the SE backward's E@b matvecs).  g_log_sf = 2 sum(G o K)
+# uses the forward-saved K (the _se_bwd_terms g_logsf slot is E2-based
+# and wrong for Matern — overridden below).
+# --------------------------------------------------------------------------
+
+
+def _matern_e2(G, inv_l, sf2, x1, x2, form: str):
+    """E2 = -2 G dk/d(d2) for the Matern forms (exact zeros wherever
+    exp(-ar) underflows — the far-pad decoy contract)."""
+    sq = sqdist(x1 * inv_l, x2 * inv_l)
+    ar = (_M52_A if form == "m52" else _M32_A) * jnp.sqrt(sq + _R_FLOOR)
+    if form == "m52":
+        c = (5.0 / 3.0) * (1.0 + ar)
+    else:
+        c = 3.0
+    return G * (sf2 * c * jnp.exp(-ar))
+
+
+def _matern_forward(inv_l, sf2, x1, x2, form: str):
+    if (x1.shape[0] < _MIN_ROWS or x2.shape[0] < _MIN_ROWS
+            or not _on_tpu()
+            or jnp.dtype(x1.dtype) == jnp.float64):  # see _se_forward
+        sq = sqdist(x1 * inv_l, x2 * inv_l)
+        return _cov_from_sq(form, sq, sf2)
+    return se_matrix(inv_l, sf2, x1, x2, form=form)
+
+
+def _matern_bwd_terms(K, G, inv_l, sf2, x1, x2, form: str):
+    E2 = _matern_e2(G, inv_l, sf2, x1, x2, form)
+    per_dim, _, dx1, dx2 = _se_bwd_terms(E2, jnp.ones_like(G), inv_l,
+                                         x1, x2)
+    # _se_bwd_terms forms E = G_arg o K_arg; passing (K_arg=E2, G_arg=1)
+    # reuses its reductions with E = E2.  g_logsf needs K, not E2:
+    g_logsf = 2.0 * jnp.sum(G * K)
+    return per_dim, g_logsf, dx1, dx2
+
+
+def matern_k_pallas(form: str, ard: bool):
+    """Factory: differentiable Matern covariance (KernelSpec `k`) with a
+    fused Pallas forward on TPU f32 and a closed-form XLA backward."""
+
+    @jax.custom_vjp
+    def k(chyp, x1, x2):
+        d = x1.shape[-1]
+        if ard:
+            return _matern_forward(jnp.exp(-chyp[:d]),
+                                   jnp.exp(2.0 * chyp[d]), x1, x2, form)
+        return _matern_forward(jnp.exp(-chyp[0]), jnp.exp(2.0 * chyp[1]),
+                               x1, x2, form)
+
+    def fwd(chyp, x1, x2):
+        K = k(chyp, x1, x2)
+        return K, (K, chyp, x1, x2)
+
+    def bwd(res, G):
+        K, chyp, x1, x2 = res
+        d = x1.shape[-1]
+        inv_l = jnp.exp(-chyp[:d]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[d if ard else 1])
+        per_dim, g_logsf, dx1, dx2 = _matern_bwd_terms(K, G, inv_l, sf2,
+                                                       x1, x2, form)
+        if ard:
+            g_chyp = jnp.concatenate([per_dim, g_logsf[None]])
+        else:
+            g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf])
+        return (g_chyp.astype(chyp.dtype), dx1.astype(x1.dtype),
+                dx2.astype(x2.dtype))
+
+    k.defvjp(fwd, bwd)
+    return k
+
+
+def matern_k_noise_pallas(form: str, ard: bool):
+    """Factory: fused Matern K + noise-diag build (KernelSpec `k_noise`).
+    Same cotangent contract as the SE noise builds (decoy diagonal of G
+    zero; E2 rows vanish at decoy distances because exp(-ar) is exact
+    zero there)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def k_noise(chyp, sn2, x, n_real: int):
+        d = x.shape[-1]
+        inv_l = jnp.exp(-chyp[:d]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[d if ard else 1])
+        n = x.shape[0]
+        dvals = jnp.where(jnp.arange(n) < n_real, sf2 + sn2, sf2)
+        if (n < _MIN_ROWS or not _on_tpu()
+                or jnp.dtype(x.dtype) == jnp.float64):
+            K0 = _cov_from_sq(form, sqdist(x * inv_l, x * inv_l), sf2)
+            ids = jnp.arange(n)
+            return K0.at[ids, ids].set(dvals.astype(K0.dtype))
+        return se_matrix_diag(inv_l, sf2, x, dvals, form=form)
+
+    def fwd(chyp, sn2, x, n_real):
+        K = k_noise(chyp, sn2, x, n_real)
+        return K, (K, chyp, sn2, x)
+
+    def bwd(n_real, res, G):
+        K, chyp, sn2, x = res
+        d = x.shape[-1]
+        inv_l = jnp.exp(-chyp[:d]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[d if ard else 1])
+        per_dim, g_logsf, dx1, dx2 = _matern_bwd_terms(K, G, inv_l, sf2,
+                                                       x, x, form)
+        # noise diagonal: E = G o K picks up sn2 G_ii on the real
+        # diagonal where the pure-kernel term would be sf2 G_ii (the
+        # (a-b)^2 and dx terms self-cancel on the diagonal, a == b)
+        tr_r = jnp.sum(jnp.diagonal(G)[:n_real])
+        g_logsf = g_logsf - 2.0 * sn2 * tr_r
+        if ard:
+            g_chyp = jnp.concatenate([per_dim, g_logsf[None]])
+        else:
+            g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf])
+        return (g_chyp.astype(chyp.dtype), tr_r.astype(chyp.dtype),
+                (dx1 + dx2).astype(x.dtype))
+
+    k_noise.defvjp(fwd, bwd)
+    return k_noise

@@ -162,3 +162,52 @@ def test_gp_fit_and_gradcheck(name, data):
     # BO acquisition path (input gradients) works for the new families
     y0, g0 = m.predict_y_with_grad(Xs[0])
     assert np.all(np.isfinite(g0))
+
+
+@pytest.mark.parametrize("name", ["matern52", "matern32", "matern52_iso",
+                                  "matern32_iso"])
+def test_matern_closed_form_vjp_matches_ad(name, data):
+    """The Matern custom VJP (pallas_kernels._matern_bwd_terms: E2
+    quadratic expansion + saved-K g_logsf) == jax.vjp of the plain jnp
+    formula, for hyp AND input cotangents."""
+    from gp_tpu.ops.kernels_extra import _ard, _iso, _matern_k
+
+    X, y, Xs, _ = data
+    k = get_kernel(name)
+    nu = np.sqrt(5.0) if "52" in name else np.sqrt(3.0)
+    plain = (_iso if name.endswith("_iso") else _ard)(_matern_k(nu))
+    chyp = jnp.asarray(np.asarray(k.default_hyp(X, y)))
+    nl = 1 if name.endswith("_iso") else X.shape[1]
+    chyp = chyp.at[:nl].add(jnp.linspace(-0.3, 0.2, nl))
+    x1, x2 = jnp.asarray(X), jnp.asarray(Xs)
+    rng = np.random.default_rng(3)
+    G = jnp.asarray(rng.standard_normal((X.shape[0], Xs.shape[0])))
+
+    K1, vjp1 = jax.vjp(lambda c, a, b: k.k(c, a, b), chyp, x1, x2)
+    K0, vjp0 = jax.vjp(lambda c, a, b: plain(c, a, b), chyp, x1, x2)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), rtol=1e-12)
+    for g1, g0 in zip(vjp1(G), vjp0(G)):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["matern52", "matern32"])
+def test_matern_far_padded_objective_matches_plain(name, data):
+    """Matern is far-pad eligible (round 5: exponential decay — decoy
+    cross-covariances underflow like SE's): the decoy-row capacity
+    objective == nll_vg_raw at non-multiple sizes."""
+    from gp_tpu.models import exact
+    from gp_tpu.models.base import default_hyps
+
+    X, y, _, _ = data
+    k = get_kernel(name)
+    assert k.far_pad_ok
+    hyp = jnp.asarray(default_hyps(k, X, y, 1e-3, False))
+    hyp = hyp.at[-2].set(np.log(0.05))
+    x_d, y_d = jnp.asarray(X), jnp.asarray(y)
+    f0, g0 = exact.nll_vg_raw(k, hyp, x_d, y_d)
+    for blk in (32, 64):
+        f1, g1 = exact._nll_vg_far_padded(k, hyp, x_d, y_d, blk)
+        np.testing.assert_allclose(float(f1), float(f0), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-9, atol=1e-11)
