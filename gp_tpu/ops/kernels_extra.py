@@ -177,24 +177,34 @@ def _rq_diag_iso(chyp, x):
     return jnp.full((x.shape[0],), jnp.exp(2.0 * chyp[1]), dtype=x.dtype)
 
 
+def _rq_pallas():
+    from .pallas_kernels import rq_k_noise_pallas, rq_k_pallas
+    return (rq_k_pallas(True), rq_k_pallas(False),
+            rq_k_noise_pallas(True), rq_k_noise_pallas(False))
+
+
+_RQ_K_ARD, _RQ_K_ISO, _RQ_KN_ARD, _RQ_KN_ISO = _rq_pallas()
+
 RQ = KernelSpec(
     name="rq",
     num_hyp=lambda dim: dim + 2,
-    k=_rq_k_ard,
+    k=_RQ_K_ARD,               # fused Pallas forward + closed-form vjp
     diag_k=_rq_diag_ard,
     default_hyp=_rq_default_ard,
     hyp_range=_rq_range_ard,
     out_scale_idx=-2,          # log sigma_f sits before log alpha
+    k_noise=_RQ_KN_ARD,
 )
 
 RQ_ISO = KernelSpec(
     name="rq_iso",
     num_hyp=lambda dim: 3,
-    k=_rq_k_iso,
+    k=_RQ_K_ISO,
     diag_k=_rq_diag_iso,
     default_hyp=_rq_default_iso,
     hyp_range=_rq_range_iso,
     out_scale_idx=-2,
+    k_noise=_RQ_KN_ISO,
 )
 
 

@@ -55,15 +55,21 @@ _M32_A = float(np.sqrt(3.0))
 _R_FLOOR = 1e-32         # matches kernels_extra._R_FLOOR (safe-sqrt at r=0)
 
 
-def _cov_from_sq(form: str, sq, sf2):
+def _cov_from_sq(form: str, sq, sf2, p1=None):
+    """p1: the form's extra scalar (RQ's alpha); unused by se/matern."""
     if form == "se":
         return sf2 * jnp.exp(-0.5 * sq)
+    if form == "rq":
+        # (1 + d2/(2 alpha))^{-alpha} via exp(-alpha log1p(.)): stable
+        # for all alpha in the search box [1e-3, 1e3]
+        return sf2 * jnp.exp(-p1 * jnp.log1p(sq / (2.0 * p1)))
     ar = (_M52_A if form == "m52" else _M32_A) * jnp.sqrt(sq + _R_FLOOR)
     poly = 1.0 + ar + (ar * ar / 3.0 if form == "m52" else 0.0)
     return sf2 * poly * jnp.exp(-ar)
 
 
-def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref, *, form: str = "se"):
+def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, p1_ref, out_ref, *,
+                    form: str = "se"):
     """One (tm, tn) tile of K(form) from pre-scaled inputs."""
     a = x1_ref[:]                                   # (tm, dp)
     b = x2_ref[:]                                   # (tn, dp)
@@ -76,11 +82,12 @@ def _se_tile_kernel(x1_ref, x2_ref, sf2_ref, out_ref, *, form: str = "se"):
     n1 = jnp.sum(a * a, axis=1, keepdims=True)      # (tm, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T    # (1, tn)
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
-    out_ref[:] = _cov_from_sq(form, sq, sf2_ref[0, 0]).astype(out_ref.dtype)
+    out_ref[:] = _cov_from_sq(form, sq, sf2_ref[0, 0],
+                              p1_ref[0, 0]).astype(out_ref.dtype)
 
 
-def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref, *,
-                         form: str = "se"):
+def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, p1_ref, dvals_ref,
+                         out_ref, *, form: str = "se"):
     """Symmetric-build tile with the diagonal OVERWRITTEN in-VMEM.
 
     Any post-hoc diagonal fix on the assembled K costs a full N^2
@@ -101,7 +108,7 @@ def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref, *,
     n1 = jnp.sum(a * a, axis=1, keepdims=True)
     n2 = jnp.sum(b * b, axis=1, keepdims=True).T
     sq = jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
-    tile = _cov_from_sq(form, sq, sf2_ref[0, 0])
+    tile = _cov_from_sq(form, sq, sf2_ref[0, 0], p1_ref[0, 0])
     tm, tn = tile.shape
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -114,7 +121,7 @@ def _se_tile_kernel_diag(x1_ref, x2_ref, sf2_ref, dvals_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret",
                                              "form"))
-def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool,
+def _se_matrix_padded(x1s, x2s, sf2, p1, tm: int, tn: int, interpret: bool,
                       form: str = "se"):
     m, dp = x1s.shape
     n = x2s.shape[0]
@@ -138,15 +145,17 @@ def _se_matrix_padded(x1s, x2s, sf2, tm: int, tn: int, interpret: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x1s, x2s, sf2)
+        )(x1s, x2s, sf2, p1)
 
 
 @functools.partial(jax.jit, static_argnames=("t", "interpret", "form"))
-def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool,
+def _se_matrix_diag_padded(xs, sf2, p1, dvals, t: int, interpret: bool,
                            form: str = "se"):
     m, dp = xs.shape
     import contextlib
@@ -164,17 +173,19 @@ def _se_matrix_diag_padded(xs, sf2, dvals, t: int, interpret: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, t), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xs, xs, sf2, dvals)
+        )(xs, xs, sf2, p1, dvals)
 
 
 def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None,
-                   form: str = "se"):
+                   form: str = "se", p1=1.0):
     """Symmetric K(X, X) with diag OVERWRITTEN by dvals, fused single-pass.
 
     Rows are padded to the tile size (padded dvals = 1, harmless: the pad
@@ -193,12 +204,13 @@ def se_matrix_diag(inv_l, sf2, x, dvals, tile: int = 512, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     K = _se_matrix_diag_padded(xs, jnp.asarray(sf2, dtype).reshape(1, 1),
+                               jnp.asarray(p1, dtype).reshape(1, 1),
                                dv, t, interpret, form)
     return K[:n, :n]
 
 
 def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None,
-              form: str = "se"):
+              form: str = "se", p1=1.0):
     """K(form) from pre-scaled distances, fused single-pass build
     (default form "se": sf2 * exp(-0.5 |x1/l - x2/l|^2)).
 
@@ -220,6 +232,7 @@ def se_matrix(inv_l, sf2, x1, x2, tile: int = 512, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     K = _se_matrix_padded(x1s, x2s, jnp.asarray(sf2, dtype).reshape(1, 1),
+                          jnp.asarray(p1, dtype).reshape(1, 1),
                           tm, tn, interpret, form)
     return K[:m, :n]
 
@@ -515,6 +528,131 @@ def matern_k_noise_pallas(form: str, ard: bool):
             g_chyp = jnp.concatenate([per_dim, g_logsf[None]])
         else:
             g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf])
+        return (g_chyp.astype(chyp.dtype), tr_r.astype(chyp.dtype),
+                (dx1 + dx2).astype(x.dtype))
+
+    k_noise.defvjp(fwd, bwd)
+    return k_noise
+
+
+# --------------------------------------------------------------------------
+# Rational Quadratic fused builds + closed-form backward (round 5)
+#
+#   k = sf2 (1 + u)^{-alpha},  u = d2 / (2 alpha)
+#   dk/dd2      = -(sf2/2) (1+u)^{-alpha-1}         -> E2 = G sf2 (1+u)^{-a-1}
+#   dk/dlog sf  = 2 k
+#   dk/dlog a   = k * alpha * (u/(1+u) - log1p(u))
+#
+# Same E2 quadratic expansion as SE/Matern for the lengthscale and input
+# cotangents; the extra log-alpha reduction is one fused elementwise
+# sum (u recomputed from sqdist in the backward).  Alpha rides into the
+# Pallas tile as the p1 SMEM scalar.  NOT far-pad eligible (polynomial
+# decay never underflows) — the RQ objective keeps the pad-once path.
+# --------------------------------------------------------------------------
+
+
+def _rq_forward(inv_l, sf2, alpha, x1, x2):
+    if (x1.shape[0] < _MIN_ROWS or x2.shape[0] < _MIN_ROWS
+            or not _on_tpu()
+            or jnp.dtype(x1.dtype) == jnp.float64):  # see _se_forward
+        sq = sqdist(x1 * inv_l, x2 * inv_l)
+        return _cov_from_sq("rq", sq, sf2, alpha)
+    return se_matrix(inv_l, sf2, x1, x2, form="rq", p1=alpha)
+
+
+def _rq_bwd_terms(K, G, inv_l, sf2, alpha, x1, x2):
+    sq = sqdist(x1 * inv_l, x2 * inv_l)
+    u = sq / (2.0 * alpha)
+    E2 = G * (sf2 * jnp.exp(-(alpha + 1.0) * jnp.log1p(u)))
+    per_dim, _, dx1, dx2 = _se_bwd_terms(E2, jnp.ones_like(G), inv_l,
+                                         x1, x2)
+    GK = G * K
+    g_logsf = 2.0 * jnp.sum(GK)
+    g_loga = jnp.sum(GK * (alpha * (u / (1.0 + u) - jnp.log1p(u))))
+    return per_dim, g_logsf, g_loga, dx1, dx2
+
+
+def rq_k_pallas(ard: bool):
+    """Factory: differentiable RQ covariance (KernelSpec `k`), fused
+    Pallas forward on TPU f32, closed-form XLA backward."""
+
+    @jax.custom_vjp
+    def k(chyp, x1, x2):
+        d = x1.shape[-1]
+        nl = d if ard else 1
+        return _rq_forward(jnp.exp(-chyp[:nl]) if ard
+                           else jnp.exp(-chyp[0]),
+                           jnp.exp(2.0 * chyp[nl]),
+                           jnp.exp(chyp[nl + 1]), x1, x2)
+
+    def fwd(chyp, x1, x2):
+        K = k(chyp, x1, x2)
+        return K, (K, chyp, x1, x2)
+
+    def bwd(res, G):
+        K, chyp, x1, x2 = res
+        d = x1.shape[-1]
+        nl = d if ard else 1
+        inv_l = jnp.exp(-chyp[:nl]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[nl])
+        alpha = jnp.exp(chyp[nl + 1])
+        per_dim, g_logsf, g_loga, dx1, dx2 = _rq_bwd_terms(
+            K, G, inv_l, sf2, alpha, x1, x2)
+        if ard:
+            g_chyp = jnp.concatenate([per_dim, g_logsf[None],
+                                      g_loga[None]])
+        else:
+            g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf, g_loga])
+        return (g_chyp.astype(chyp.dtype), dx1.astype(x1.dtype),
+                dx2.astype(x2.dtype))
+
+    k.defvjp(fwd, bwd)
+    return k
+
+
+def rq_k_noise_pallas(ard: bool):
+    """Factory: fused RQ K + noise-diag build (KernelSpec `k_noise`)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def k_noise(chyp, sn2, x, n_real: int):
+        d = x.shape[-1]
+        nl = d if ard else 1
+        inv_l = jnp.exp(-chyp[:nl]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[nl])
+        alpha = jnp.exp(chyp[nl + 1])
+        n = x.shape[0]
+        dvals = jnp.where(jnp.arange(n) < n_real, sf2 + sn2, sf2)
+        if (n < _MIN_ROWS or not _on_tpu()
+                or jnp.dtype(x.dtype) == jnp.float64):
+            K0 = _cov_from_sq("rq", sqdist(x * inv_l, x * inv_l), sf2,
+                              alpha)
+            ids = jnp.arange(n)
+            return K0.at[ids, ids].set(dvals.astype(K0.dtype))
+        return se_matrix_diag(inv_l, sf2, x, dvals, form="rq", p1=alpha)
+
+    def fwd(chyp, sn2, x, n_real):
+        K = k_noise(chyp, sn2, x, n_real)
+        return K, (K, chyp, sn2, x)
+
+    def bwd(n_real, res, G):
+        K, chyp, sn2, x = res
+        d = x.shape[-1]
+        nl = d if ard else 1
+        inv_l = jnp.exp(-chyp[:nl]) if ard else jnp.exp(-chyp[0])
+        sf2 = jnp.exp(2.0 * chyp[nl])
+        alpha = jnp.exp(chyp[nl + 1])
+        per_dim, g_logsf, g_loga, dx1, dx2 = _rq_bwd_terms(
+            K, G, inv_l, sf2, alpha, x, x)
+        # noise diagonal: sn2 G_ii rides into g_logsf's G o K term (same
+        # correction as SE/Matern); the g_log_alpha factor is exactly
+        # zero on the diagonal (u = 0), so no correction there
+        tr_r = jnp.sum(jnp.diagonal(G)[:n_real])
+        g_logsf = g_logsf - 2.0 * sn2 * tr_r
+        if ard:
+            g_chyp = jnp.concatenate([per_dim, g_logsf[None],
+                                      g_loga[None]])
+        else:
+            g_chyp = jnp.stack([jnp.sum(per_dim), g_logsf, g_loga])
         return (g_chyp.astype(chyp.dtype), tr_r.astype(chyp.dtype),
                 (dx1 + dx2).astype(x.dtype))
 

@@ -211,3 +211,28 @@ def test_matern_far_padded_objective_matches_plain(name, data):
         np.testing.assert_allclose(float(f1), float(f0), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("name", ["rq", "rq_iso"])
+def test_rq_closed_form_vjp_matches_ad(name, data):
+    """The RQ custom VJP (pallas_kernels._rq_bwd_terms: E2 expansion +
+    the extra log-alpha reduction) == jax.vjp of the plain jnp formula."""
+    from gp_tpu.ops.kernels_extra import _rq_k_ard, _rq_k_iso
+
+    X, y, Xs, _ = data
+    k = get_kernel(name)
+    plain = _rq_k_iso if name.endswith("_iso") else _rq_k_ard
+    chyp = jnp.asarray(np.asarray(k.default_hyp(X, y)))
+    nl = 1 if name.endswith("_iso") else X.shape[1]
+    chyp = chyp.at[:nl].add(jnp.linspace(-0.3, 0.2, nl))
+    chyp = chyp.at[nl + 1].set(np.log(0.7))      # off-default alpha
+    x1, x2 = jnp.asarray(X), jnp.asarray(Xs)
+    rng = np.random.default_rng(7)
+    G = jnp.asarray(rng.standard_normal((X.shape[0], Xs.shape[0])))
+
+    K1, vjp1 = jax.vjp(lambda c, a, b: k.k(c, a, b), chyp, x1, x2)
+    K0, vjp0 = jax.vjp(lambda c, a, b: plain(c, a, b), chyp, x1, x2)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), rtol=1e-12)
+    for g1, g0 in zip(vjp1(G), vjp0(G)):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-8, atol=1e-10)
