@@ -154,3 +154,181 @@ def load_model(path: str):
             model._trained = True
         model._key = jnp.asarray(z["key"], jnp.uint32)
     return model
+
+
+# --------------------------------------------------------------------------
+# Pod-scale SHARDED checkpoint (round 5)
+#
+# `save_model` gathers the distributed factor to ONE host (np.asarray of
+# the global L): at the scale the distributed layer exists for this is
+# the wrong shape — N=102400 f32 is a 42 GB gather, and in a multi-host
+# job the global array is not even addressable from a single process.
+# The sharded format writes each process's OWN shards (no gather, no
+# cross-host traffic) plus a small metadata file; restore rebuilds the
+# global sharded array via jax.make_array_from_callback, each process
+# reading back exactly its shards.  Works for both the 1-D ("rows") and
+# 2-D ("rowg", "colg") layouts and from single- or multi-process jobs.
+# --------------------------------------------------------------------------
+
+
+def save_model_sharded(model, dirpath: str) -> None:
+    """Checkpoint a model with a DISTRIBUTED posterior without gathering.
+
+    Layout on disk:
+      dirpath/meta.npz            model metadata + replicated arrays
+                                  (x, y, hyps, invKys) — process 0 only
+      dirpath/shards_p{pid}.npz   this process's shards of L:
+                                  data_i + index bounds start_i/stop_i
+
+    Every process of a multi-host job must call this (collective-free;
+    pure local writes).  Restore with `load_model_sharded(dirpath, mesh)`
+    on a mesh with the same layout."""
+    import os
+
+    import jax
+
+    dist = getattr(model, "_post_dist", None)
+    if dist is None:
+        raise ValueError(
+            "save_model_sharded needs a live distributed posterior "
+            "(_post_dist); use save_model for single-device models")
+    if type(model).__name__ != "GP":
+        raise ValueError(
+            "sharded checkpoints cover the exact-GP distributed posterior "
+            "(the only N^2-scale factor); sparse models' posteriors are "
+            "M-sized and replicated — use save_model")
+    mesh_d, block_d, L_d, invKys_d = dist
+    os.makedirs(dirpath, exist_ok=True)
+
+    pid = jax.process_index()
+    shards = {}
+    for i, s in enumerate(L_d.addressable_shards):
+        if s.replica_id != 0:
+            continue          # replicated dims: one copy is enough
+        shards[f"data_{i}"] = np.asarray(s.data)
+        shards[f"start_{i}"] = np.asarray(
+            [0 if sl.start is None else sl.start for sl in s.index],
+            np.int64)
+        shards[f"stop_{i}"] = np.asarray(
+            [L_d.shape[k] if sl.stop is None else sl.stop
+             for k, sl in enumerate(s.index)], np.int64)
+    np.savez_compressed(os.path.join(dirpath, f"shards_p{pid}.npz"),
+                        **shards)
+
+    if pid == 0:
+        if {"rowg", "colg"} <= set(mesh_d.axis_names):
+            from ..parallel.pchol2d import AXC, AXR
+            layout = {"grid": [int(mesh_d.shape[AXR]),
+                               int(mesh_d.shape[AXC])]}
+        else:
+            from ..parallel.pgp import AXIS
+            layout = {"n_dev": int(mesh_d.shape[AXIS])}
+        meta = {
+            "format": "gp_tpu-sharded-v1",
+            "model": type(model).__name__,
+            "kernel": model.kernel.name,
+            "solver": model.solver.name,
+            "dtype": jnp.dtype(model._dtype).name,
+            "noise_lb": model._noise_lb,
+            "noise_free": model._noise_free,
+            "fixhyps": model._fixhyps,
+            "block": int(block_d),
+            "L_shape": [int(v) for v in L_d.shape],
+            **layout,
+        }
+        np.savez_compressed(
+            os.path.join(dirpath, "meta.npz"),
+            meta=json.dumps(meta),
+            x=np.asarray(model._x), y=np.asarray(model._y),
+            hyps=np.asarray(model._hyps),
+            invKys=np.asarray(invKys_d),
+            key=np.asarray(model._key))
+
+
+def load_model_sharded(dirpath: str, mesh):
+    """Rebuild a model + its distributed posterior from a sharded
+    checkpoint, with each process reading only its own shards.
+
+    `mesh` must have the same layout the checkpoint records (same
+    "rows" device count, or the same ("rowg", "colg") grid shape);
+    device ORDER may differ — make_array_from_callback hands each
+    device the block its index asks for."""
+    import os
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.exact import GP
+    from ..models.fitc import FITC
+    from ..models.vfe import VFE
+
+    with np.load(os.path.join(dirpath, "meta.npz"),
+                 allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        x, y = z["x"], z["y"]
+        hyps, invKys, key = z["hyps"], z["invKys"], z["key"]
+    if meta.get("format") != "gp_tpu-sharded-v1":
+        raise ValueError(f"not a sharded checkpoint: {meta.get('format')}")
+
+    if "grid" in meta:
+        from ..parallel.pchol2d import AXC, AXR
+        pr, pc = meta["grid"]
+        if (not {"rowg", "colg"} <= set(mesh.axis_names)
+                or (mesh.shape[AXR], mesh.shape[AXC]) != (pr, pc)):
+            raise ValueError(
+                f"checkpoint is blocked for a ({pr}, {pc}) "
+                f"('rowg', 'colg') grid; mesh is {mesh.axis_names} "
+                f"{dict(mesh.shape)}")
+        spec = P(AXR, AXC)
+    else:
+        from ..parallel.pgp import AXIS
+        if AXIS not in mesh.axis_names or mesh.shape[AXIS] != meta["n_dev"]:
+            raise ValueError(
+                f"checkpoint is blocked for {meta['n_dev']} devices on "
+                f"axis '{AXIS}'; mesh is {dict(mesh.shape)}")
+        spec = P(None, AXIS)
+
+    # this process's shard table: index bounds -> block
+    pid = jax.process_index()
+    table = []
+    with np.load(os.path.join(dirpath, f"shards_p{pid}.npz"),
+                 allow_pickle=False) as z:
+        n_sh = sum(1 for k in z.files if k.startswith("data_"))
+        for k in z.files:
+            if not k.startswith("data_"):
+                continue
+            i = k[len("data_"):]
+            table.append((z[f"start_{i}"], z[f"stop_{i}"], z[k]))
+        assert len(table) == n_sh
+
+    shape = tuple(meta["L_shape"])
+
+    def read_block(index):
+        start = [0 if sl.start is None else sl.start for sl in index]
+        stop = [shape[k] if sl.stop is None else sl.stop
+                for k, sl in enumerate(index)]
+        for s0, s1, data in table:
+            if list(s0) == start and list(s1) == stop:
+                return data
+        raise KeyError(
+            f"shard {start}:{stop} not in this process's checkpoint "
+            f"(device order may differ across jobs only within a "
+            f"process's own shard set)")
+
+    sharding = NamedSharding(mesh, spec)
+    L = jax.make_array_from_callback(shape, sharding, read_block)
+
+    classes = {"GP": GP, "FITC": FITC, "VFE": VFE}
+    model = classes[meta["model"]](x, y, kernel=meta["kernel"],
+                                   dtype=meta["dtype"],
+                                   solver=meta.get("solver", "chol"))
+    model._noise_lb = meta["noise_lb"]
+    model._noise_free = meta["noise_free"]
+    model._fixhyps = meta["fixhyps"]
+    dt = model._dtype
+    model._hyps = jnp.asarray(hyps, dt)
+    model._key = jnp.asarray(key, jnp.uint32)
+    model._post = None
+    model._post_dist = (mesh, meta["block"], L, jnp.asarray(invKys, dt))
+    model._trained = True
+    return model

@@ -107,3 +107,45 @@ def test_distributed_posterior_roundtrip(tmp_path, toy_problem):
     m3 = GP.load(p)
     with pytest.raises(ValueError, match="8 devices"):
         m3.restore_distributed(make_mesh(4, "rows"))
+
+
+@pytest.mark.parametrize("layout", ["rows", "grid"])
+def test_sharded_checkpoint_roundtrip(tmp_path, toy_problem, layout):
+    """Pod-scale sharded checkpoint (round 5): per-process shard files,
+    no full-L gather — save_model_sharded -> load_model_sharded on the
+    same layout reproduces predictions bitwise, for both the 1-D and the
+    2-D grid posterior."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gp_tpu.parallel import pchol2d
+    from gp_tpu.parallel.mesh import make_mesh
+    from gp_tpu.utils.checkpoint import (load_model_sharded,
+                                         save_model_sharded)
+
+    X, y, Xs, _ = toy_problem
+    if layout == "rows":
+        mesh = make_mesh(8, "rows")
+    else:
+        devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+        mesh = Mesh(devs, (pchol2d.AXR, pchol2d.AXC))
+    m = GP(X, y)
+    m.train_distributed(mesh, block=4)
+    mu, s2 = m.batch_predict(Xs)
+
+    d = str(tmp_path / "sharded")
+    save_model_sharded(m, d)
+    m2 = load_model_sharded(d, mesh)
+    assert m2.trained
+    mu2, s22 = m2.batch_predict(Xs)
+    np.testing.assert_array_equal(mu2, mu)
+    np.testing.assert_array_equal(s22, s2)
+    np.testing.assert_allclose(np.asarray(m2.get_hyp()),
+                               np.asarray(m.get_hyp()), rtol=0)
+
+    # wrong layout rejected loudly
+    wrong = (make_mesh(8, "rows") if layout == "grid"
+             else Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(2, 4),
+                       (pchol2d.AXR, pchol2d.AXC)))
+    with pytest.raises(ValueError, match="blocked for"):
+        load_model_sharded(d, wrong)

@@ -69,6 +69,29 @@ hyp_k2, L2, invKys2, ok2 = multihost.pset_k2d(SE_ARD, hyp, x, y, mesh2,
 mu2, s22 = multihost.ppredict2d(SE_ARD, np.asarray(hyp_k2), x, L2,
                                 np.asarray(invKys2), xs, mesh2, block=4)
 
+# ---- sharded checkpoint across the REAL process boundary: each process
+# writes only its own shards, restore rebuilds the grid-sharded factor
+# and serves identically ---------------------------------------------------
+from jax.experimental import multihost_utils
+from gp_tpu import GP
+from gp_tpu.utils.checkpoint import load_model_sharded, save_model_sharded
+
+ckdir = out + ".sharded"
+m = GP(x, y)
+m._hyps = jnp.asarray(np.asarray(hyp_k2), jnp.float64)
+m._post_dist = (mesh2, 4, L2, jnp.asarray(np.asarray(invKys2)))
+m._post = None
+m._trained = True
+save_model_sharded(m, ckdir)
+multihost_utils.sync_global_devices("ckpt-written")
+m2 = load_model_sharded(ckdir, mesh2)
+mu2r, s22r = multihost.ppredict2d(SE_ARD, np.asarray(m2.get_hyp()), x,
+                                  m2._post_dist[2],
+                                  np.asarray(m2._post_dist[3]), xs, mesh2,
+                                  block=4)
+np.testing.assert_array_equal(np.asarray(mu2r), np.asarray(mu2))
+np.testing.assert_array_equal(np.asarray(s22r), np.asarray(s22))
+
 if pid == 0:
     json.dump({"f": float(f), "g": np.asarray(g).tolist(),
                "fit_f": float(res.f), "fit_x": np.asarray(res.x).tolist(),
