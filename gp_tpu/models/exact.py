@@ -1187,19 +1187,32 @@ class GP(GPBase):
         # work units (~0.5 s/eval) risks the remote runtime's ~60-100 s
         # single-execution kill; drive the optimizer from the host with
         # one distributed program per evaluation instead
+        # multi-process meshes route through the multihost conversion
+        # layer (host-local -> global replicated inputs); the shard_map
+        # programs themselves are identical — this makes the MODEL-level
+        # API pod-complete, not just the functional layer
+        from ..parallel import multihost
+        mp = multihost.is_multiprocess()
+
         n = self.num_train
         if grid:
             from ..parallel import pchol2d
-            res = pchol2d.pfit2d_hosted(
+            fit2d = multihost.pfit2d if mp else pchol2d.pfit2d_hosted
+            res = fit2d(
                 self.kernel, self._noise_free, self._x, self._ys,
                 jnp.asarray(vec0, self._dtype),
                 jnp.asarray(lb_v, self._dtype),
                 jnp.asarray(ub_v, self._dtype),
                 mesh, block=block, max_evals=self._MAX_EVAL)
         else:
-            fit_fn = (pgp.pfit_hosted
-                      if n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
-                      else pgp.pfit)
+            hosted = n ** 3 / mesh.shape["rows"] > _DIST_HOSTED_WORK
+            if mp:
+                # pod default: hosted (per-eval programs; the monolithic
+                # form is the watchdog-crash shape at scale)
+                fit_fn = (multihost.pfit_hosted if hosted
+                          else multihost.pfit)
+            else:
+                fit_fn = pgp.pfit_hosted if hosted else pgp.pfit
             res = fit_fn(self.kernel, self._noise_free, self._x, self._ys,
                          jnp.asarray(vec0, self._dtype),
                          jnp.asarray(lb_v, self._dtype),
@@ -1213,13 +1226,15 @@ class GP(GPBase):
 
         if grid:
             from ..parallel import pchol2d
-            hyp, L, invKys, ok = pchol2d.pset_k2d(
+            set_k2d = multihost.pset_k2d if mp else pchol2d.pset_k2d
+            hyp, L, invKys, ok = set_k2d(
                 self.kernel, self._hyps, self._x, self._y, mesh,
                 block=block)
         else:
-            hyp, L, invKys, ok = pgp.pset_k(self.kernel, self._hyps,
-                                            self._x, self._y, mesh,
-                                            block=block)
+            set_k = multihost.pset_k if mp else pgp.pset_k
+            hyp, L, invKys, ok = set_k(self.kernel, self._hyps,
+                                       self._x, self._y, mesh,
+                                       block=block)
         if not ok:
             raise RuntimeError(
                 "distributed posterior factorization failed after noise "
@@ -1231,8 +1246,17 @@ class GP(GPBase):
         self._trained = True
         if grid:
             from ..parallel import pchol2d
+            if mp:
+                f, _ = multihost.pnll_vg2d(self.kernel, self._hyps,
+                                           self._x, self._y, mesh,
+                                           block=block)
+                return float(f)
             return float(pchol2d.pnll2d(self.kernel, self._hyps, self._x,
                                         self._y, mesh, block=block))
+        if mp:
+            f, _ = multihost.pnll_vg(self.kernel, self._hyps, self._x,
+                                     self._y, mesh, block=block)
+            return float(f)
         f, _ = pgp.pnll_vg(self.kernel, self._hyps, self._x, self._y, mesh,
                            block=block)
         return float(f)
@@ -1283,18 +1307,21 @@ class GP(GPBase):
     def batch_predict(self, xs):
         self._require_trained()
         if getattr(self, "_post_dist", None) is not None:
+            from ..parallel import multihost
             mesh, block, L, invKys = self._post_dist
+            mp = multihost.is_multiprocess()
             if self._is_grid_mesh(mesh):
                 from ..parallel import pchol2d
-                mu, s2 = pchol2d.ppredict2d(self.kernel, self._hyps,
-                                            self._x, L, invKys,
-                                            self._as_batch(xs), mesh,
-                                            block=block)
+                ppred_fn = (multihost.ppredict2d if mp
+                            else pchol2d.ppredict2d)
             else:
                 from ..parallel import pgp
-                mu, s2 = pgp.ppredict(self.kernel, self._hyps, self._x, L,
-                                      invKys, self._as_batch(xs), mesh,
-                                      block=block)
+                # NOTE: must not shadow the module-level `predict` used
+                # by the dense path below
+                ppred_fn = multihost.ppredict if mp else pgp.ppredict
+            mu, s2 = ppred_fn(self.kernel, self._hyps, self._x, L,
+                              invKys, self._as_batch(xs), mesh,
+                              block=block)
             return np.asarray(mu), np.asarray(s2)
         if self._in_stream_regime():
             mu, s2 = predict_streamed(self.kernel, self._hyps, self._x,
@@ -1324,16 +1351,19 @@ class GP(GPBase):
                                      self.solver))
 
     def _ppredict_with_grad_dist(self, xs):
+        from ..parallel import multihost
         mesh, block, L, invKys = self._post_dist
+        mp = multihost.is_multiprocess()
         if self._is_grid_mesh(mesh):
             from ..parallel import pchol2d
-            return pchol2d.ppredict2d_with_grad(
-                self.kernel, self._hyps, self._x, L, invKys,
-                self._as_batch(xs), mesh, block=block)
-        from ..parallel import pgp
-        return pgp.ppredict_with_grad(
-            self.kernel, self._hyps, self._x, L, invKys,
-            self._as_batch(xs), mesh, block=block)
+            fn = (multihost.ppredict2d_with_grad if mp
+                  else pchol2d.ppredict2d_with_grad)
+        else:
+            from ..parallel import pgp
+            fn = (multihost.ppredict_with_grad if mp
+                  else pgp.ppredict_with_grad)
+        return fn(self.kernel, self._hyps, self._x, L, invKys,
+                  self._as_batch(xs), mesh, block=block)
 
     def batch_predict_y_with_grad(self, xs):
         self._require_trained()

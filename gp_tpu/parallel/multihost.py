@@ -138,6 +138,41 @@ def pfit(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
     return LBFGSBResult(*out)
 
 
+def pfit_hosted(kernel: KernelSpec, noise_free: bool, x, y, vec0, lb, ub,
+                mesh: Mesh, block: int | None = None,
+                max_evals: int = 160):
+    """Multi-host 1-D fit with the L-BFGS-B loop on the host — every
+    process runs the identical deterministic loop on replicated values
+    (the pfit2d pattern on the "rows" layout).  The pod-scale default:
+    one collective program per evaluation, no monolithic 160-eval
+    execution to trip a runtime watchdog."""
+    from ..models.base import from_opt_vec
+    from ..optim.lbfgsb import lbfgsb_hosted
+
+    n_dev = mesh.shape[pgp.AXIS]
+    if block is None:
+        from .pchol import auto_block
+        block = auto_block(np.asarray(x).shape[0], n_dev)
+    x_pad, y_pad, n = pgp._pad_xy(jnp.asarray(np.asarray(x)),
+                                  jnp.asarray(np.asarray(y)), n_dev, block)
+    dt = np.asarray(x_pad).dtype
+    x_g = replicate(x_pad, mesh)
+    y_g = replicate(y_pad, mesh)
+
+    def fun(v):
+        hyp = replicate(np.asarray(from_opt_vec(jnp.asarray(v, dt),
+                                                noise_free)), mesh)
+        f, g = pgp._pnll_program(kernel, hyp, x_g, y_g, n, n_dev, block,
+                                 mesh)
+        gv = jnp.concatenate([g[:-2], g[-1:]]) if noise_free else g
+        return pgp.sanitize_value_and_grad(f, gv)
+
+    return lbfgsb_hosted(fun, jnp.asarray(np.asarray(vec0, dt)),
+                         jnp.asarray(np.asarray(lb, dt)),
+                         jnp.asarray(np.asarray(ub, dt)),
+                         max_evals=max_evals, jit_fun=False)
+
+
 def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
              block: int | None = None):
     """Multi-host distributed batch posterior (pgp.ppredict semantics).
@@ -156,6 +191,98 @@ def ppredict(kernel: KernelSpec, hyp, x, L, invKys, xs, mesh: Mesh,
     return pgp._ppredict_program(kernel, hyp, x_g, L,
                                  replicate(np.asarray(invKys, dt), mesh),
                                  xs_g, n, n_dev, block, mesh)
+
+
+def ppredict_with_grad(kernel: KernelSpec, hyp, x, L, invKys, xs,
+                       mesh: Mesh, block: int | None = None):
+    """Multi-host (y, gy, s2, gs2) off the sharded 1-D posterior — the BO
+    acquisition path (pgp.ppredict_with_grad semantics).  Only the
+    K^{-1} k* column solve is collective; the kernel-gradient algebra
+    runs identically on every process from the replicated solve."""
+    if block is None:
+        block = int(L.shape[2])
+    n_dev = mesh.shape[pgp.AXIS]
+    x_arr = np.asarray(x)
+    x_pad, _, n = pgp._pad_xy(jnp.asarray(x_arr),
+                              jnp.zeros((x_arr.shape[0],), x_arr.dtype),
+                              n_dev, block)
+    dt = np.asarray(x_pad).dtype
+    hyp_l = jnp.asarray(np.asarray(hyp, dt))
+    xs_l = jnp.asarray(np.asarray(xs, dt))
+    x_l = jnp.asarray(x_arr, dt)
+    nc = kernel.num_hyp(x_arr.shape[1])
+    chyp = hyp_l[:nc]
+
+    kt = kernel.k(chyp, xs_l, x_l)                       # (T, N), local
+    kt_pad = jnp.zeros((x_pad.shape[0], xs_l.shape[0]), dt
+                       ).at[:n, :].set(kt.T)
+    kks = np.asarray(pgp._psolve_columns(
+        replicate(kt_pad, mesh), L, n_dev, block, mesh))[:n]
+
+    from ..models.base import hyp_mean, hyp_sn2
+    import jax
+
+    invKys_l = jnp.asarray(np.asarray(invKys, dt))
+    yfun = lambda xi: hyp_mean(hyp_l) + jnp.dot(
+        kernel.k(chyp, xi[None, :], x_l)[0], invKys_l)
+    yv, gy = jax.vmap(jax.value_and_grad(yfun))(xs_l)
+
+    sf2 = kernel.diag_k(chyp, xs_l)
+    kks_l = jnp.asarray(kks, dt)
+    s2 = jnp.maximum(sf2 - jnp.einsum("tn,nt->t", kt, kks_l), 0.0) \
+        + hyp_sn2(hyp_l)
+
+    def gs2_one(xi, kks_t):
+        _, vjp = jax.vjp(lambda z: kernel.k(chyp, z[None, :], x_l)[0], xi)
+        return vjp(-2.0 * kks_t)[0]
+
+    gs2 = jax.vmap(gs2_one)(xs_l, kks_l.T)
+    return yv, gy, s2, gs2
+
+
+def ppredict2d_with_grad(kernel: KernelSpec, hyp, x, L, invKys, xs,
+                         mesh: Mesh, block: int | None = None):
+    """Multi-host grid acquisition path (pchol2d.ppredict2d_with_grad
+    semantics): the grid column solve is the only collective."""
+    pr, pc = mesh.shape[pchol2d.AXR], mesh.shape[pchol2d.AXC]
+    if block is None:
+        block = int(L.shape[4])
+    x_arr = np.asarray(x)
+    x_pad, _, n = pchol2d._pad_xy(
+        jnp.asarray(x_arr), jnp.zeros((x_arr.shape[0],), x_arr.dtype),
+        pr, pc, block)
+    dt = np.asarray(x_pad).dtype
+    hyp_l = jnp.asarray(np.asarray(hyp, dt))
+    xs_l = jnp.asarray(np.asarray(xs, dt))
+    x_l = jnp.asarray(x_arr, dt)
+    nc = kernel.num_hyp(x_arr.shape[1])
+    chyp = hyp_l[:nc]
+
+    kt = kernel.k(chyp, xs_l, x_l)
+    kt_pad = jnp.zeros((x_pad.shape[0], xs_l.shape[0]), dt
+                       ).at[:n, :].set(kt.T)
+    kks = np.asarray(pchol2d._psolve2d_columns(
+        replicate(kt_pad, mesh), L, pr, pc, mesh))[:n]
+
+    from ..models.base import hyp_mean, hyp_sn2
+    import jax
+
+    invKys_l = jnp.asarray(np.asarray(invKys, dt))
+    yfun = lambda xi: hyp_mean(hyp_l) + jnp.dot(
+        kernel.k(chyp, xi[None, :], x_l)[0], invKys_l)
+    yv, gy = jax.vmap(jax.value_and_grad(yfun))(xs_l)
+
+    sf2 = kernel.diag_k(chyp, xs_l)
+    kks_l = jnp.asarray(kks, dt)
+    s2 = jnp.maximum(sf2 - jnp.einsum("tn,nt->t", kt, kks_l), 0.0) \
+        + hyp_sn2(hyp_l)
+
+    def gs2_one(xi, kks_t):
+        _, vjp = jax.vjp(lambda z: kernel.k(chyp, z[None, :], x_l)[0], xi)
+        return vjp(-2.0 * kks_t)[0]
+
+    gs2 = jax.vmap(gs2_one)(xs_l, kks_l.T)
+    return yv, gy, s2, gs2
 
 
 def pset_k(kernel: KernelSpec, hyp, x, y, mesh: Mesh, block: int | None = None,

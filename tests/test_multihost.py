@@ -92,6 +92,17 @@ mu2r, s22r = multihost.ppredict2d(SE_ARD, np.asarray(m2.get_hyp()), x,
 np.testing.assert_array_equal(np.asarray(mu2r), np.asarray(mu2))
 np.testing.assert_array_equal(np.asarray(s22r), np.asarray(s22))
 
+# ---- MODEL-level pod flow (round 5): GP.train_distributed on the
+# two-process grid mesh routes through the multihost conversion layer
+# automatically; serving + acquisition gradients come off the grid ------
+gm = GP(x, y)
+nll_m = gm.train_distributed(mesh2, block=4)
+mu_m, s2_m = gm.batch_predict(xs)
+ym, gym = gm.batch_predict_y_with_grad(xs[:3])
+s2g, gs2g = gm.batch_predict_s2_with_grad(xs[:3])
+assert np.all(np.isfinite(mu_m)) and np.all(np.isfinite(gym))
+assert np.all(np.isfinite(gs2g)) and np.all(np.asarray(s2_m) >= 0)
+
 if pid == 0:
     json.dump({"f": float(f), "g": np.asarray(g).tolist(),
                "fit_f": float(res.f), "fit_x": np.asarray(res.x).tolist(),
@@ -103,7 +114,11 @@ if pid == 0:
                "ok2": bool(ok2),
                "mu2": np.asarray(mu2).tolist(),
                "s22": np.asarray(s22).tolist(),
-               "invKys2": np.asarray(invKys2).tolist()}, open(out, "w"))
+               "invKys2": np.asarray(invKys2).tolist(),
+               "model_nll": float(nll_m),
+               "model_hyp": np.asarray(gm.get_hyp()).tolist(),
+               "model_mu": np.asarray(mu_m).tolist(),
+               "model_s2": np.asarray(s2_m).tolist()}, open(out, "w"))
 """
 
 
@@ -194,6 +209,34 @@ def test_two_process_matches_single_process(tmp_path):
                                  block=4, max_evals=12)
     np.testing.assert_allclose(result["fit2_f"], float(res2.f), rtol=1e-10)
     np.testing.assert_allclose(result["fit2_x"], np.asarray(res2.x),
+                               rtol=1e-8, atol=1e-10)
+
+    # model-level pod flow.  160-eval optimizer paths legitimately
+    # diverge to nearby optima across the two lowerings (cross-process
+    # collectives round differently at ~1e-11 and the line-search
+    # accept/reject chaos amplifies it — the measured phenomenon behind
+    # test_pchol2d's short-trajectory pin), so the TIGHT assertion is
+    # evaluation parity at the two-process run's own fitted hyps; the
+    # basin band covers the optimizer end point.
+    from gp_tpu import GP
+    gm = GP(x, y)
+    nll_1p = gm.train_distributed(mesh2, block=4)
+    np.testing.assert_allclose(result["model_nll"], float(nll_1p),
+                               rtol=5e-3)                # same basin
+    f_at = pchol2d.pnll2d(SE_ARD, jnp.asarray(result["model_hyp"]), x, y,
+                          mesh2, block=4)
+    np.testing.assert_allclose(result["model_nll"], float(f_at),
+                               rtol=1e-8)                # eval parity
+    # serving at the 2-process hyps == single-process grid serving at
+    # the SAME hyps (bit-level up to reduction order)
+    h2p, L2p, inv2p, ok2p = pchol2d.pset_k2d(
+        SE_ARD, jnp.asarray(result["model_hyp"]), x, y, mesh2, block=4)
+    assert ok2p
+    mu_at, s2_at = pchol2d.ppredict2d(SE_ARD, h2p, x, L2p, inv2p, xs,
+                                      mesh2, block=4)
+    np.testing.assert_allclose(result["model_mu"], np.asarray(mu_at),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(result["model_s2"], np.asarray(s2_at),
                                rtol=1e-8, atol=1e-10)
 
     assert result["ok2"]
