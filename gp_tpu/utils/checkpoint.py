@@ -46,6 +46,11 @@ def save_model(model, path: str) -> None:
     }
     if trained and dist is not None:
         mesh_d, block_d, L_d, invKys_d = dist
+        if L_d.size * L_d.dtype.itemsize > 2 ** 31:
+            warnings.warn(
+                "gathering a >2 GiB distributed factor to one host; "
+                "save_model_sharded writes per-process shards without "
+                "the gather (required for multi-host jobs)")
         arrays["dist_L"] = np.asarray(L_d)
         arrays["dist_invKys"] = np.asarray(invKys_d)
     meta = {
