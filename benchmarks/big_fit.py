@@ -31,25 +31,30 @@ import numpy as np
 from synth import make_data  # noqa: E402  (benchmarks/ on path when run as file)
 
 
-def fit16k(n=16384, d=10):
+def fit16k(n=16384, d=10, kernel="se_ard"):
     import jax
     from gp_tpu import GP
 
     X, y = make_data(n, d)
-    gp = GP(X, y)
+    Xs, ys = make_data(2000, d, seed=7)
+    gp = GP(X, y, kernel=kernel)
     t0 = time.perf_counter()
     nll = gp.train()
     wall = time.perf_counter() - t0
+    mu = gp.batch_predict_y(Xs)
+    rmse = float(np.sqrt(np.mean((np.asarray(mu).ravel() - ys) ** 2)))
+    tag = "" if kernel == "se_ard" else f"_{kernel}"
     out = {
-        "metric": f"tpu_exact_fit_n{n}_d{d}",
+        "metric": f"tpu_exact_fit_n{n}_d{d}{tag}",
         "value": round(wall, 1), "unit": "s (incl. compile)",
-        "final_nll": float(nll),
+        "final_nll": float(nll), "heldout_rmse": round(rmse, 4),
+        "kernel": kernel,
         "backend": jax.default_backend(),
         "seed": 42,
         "hyp": [float(v) for v in gp.get_hyp()],
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "golden", f"tpu_fit_n{n}.json")
+                        "golden", f"tpu_fit_n{n}{tag}.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out))
     return out
@@ -403,6 +408,10 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "eval50k"
     if cmd == "fit16k":
         fit16k()
+    elif cmd == "fit16k-matern52":
+        # round 5: the extra kernel family at chip scale on the fused
+        # Pallas build path (pin: test_golden_tpu_fits matern record)
+        fit16k(kernel="matern52")
     elif cmd == "fit8k":
         fit8k()
     elif cmd == "eval50k":

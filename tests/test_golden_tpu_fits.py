@@ -192,3 +192,30 @@ def test_tpu_vfe_n51200_m1024_capacity_pair():
     assert rec["heldout_rmse"] < 0.2          # data-fit basin
     assert deg["heldout_rmse"] > 0.8          # the default-init trap
     assert rec["oracle_f64_nll"] < deg["oracle_f64_nll"] - 10000.0
+
+
+@pytest.mark.skipif(not os.environ.get("GP_TPU_SLOW_TESTS"),
+                    reason="f64 16384-chol oracle eval ~3.5 min (opt-in)")
+def test_tpu_matern52_n16384_record():
+    """Round 5: the extra kernel family at chip scale on the fused
+    Pallas build path — the recorded f32 chip fit pinned against an
+    independent NumPy-f64 oracle evaluation at its own optimum (measured
+    pass: 1 passed in 213 s, per-point gap well under 1e-3).  The
+    Matern fit BEATS the SE record at the same config (held-out RMSE
+    0.1344 vs 0.1675 — the synthetic target has non-smooth |x| terms)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(GOLDEN))
+    from synth import make_data
+
+    from test_kernels_extra import oracle_nll
+
+    rec = json.load(open(os.path.join(GOLDEN,
+                                      "tpu_fit_n16384_matern52.json")))
+    n = 16384
+    X, y = make_data(n, 10, seed=rec.get("seed", 42))
+    v = oracle_nll("matern52", rec["hyp"], X, y)
+    # f32 chip NLL vs f64 oracle at the same point: the BASELINE 1e-4
+    # nats/pt discipline
+    per_point = abs(rec["final_nll"] - v) / n
+    assert per_point < 1e-3, (rec["final_nll"], v)
+    assert rec["heldout_rmse"] < 0.2
