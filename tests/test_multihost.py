@@ -118,7 +118,9 @@ if pid == 0:
                "model_nll": float(nll_m),
                "model_hyp": np.asarray(gm.get_hyp()).tolist(),
                "model_mu": np.asarray(mu_m).tolist(),
-               "model_s2": np.asarray(s2_m).tolist()}, open(out, "w"))
+               "model_s2": np.asarray(s2_m).tolist(),
+               "model_gy": np.asarray(gym).tolist(),
+               "model_gs2": np.asarray(gs2g).tolist()}, open(out, "w"))
 """
 
 
@@ -238,6 +240,14 @@ def test_two_process_matches_single_process(tmp_path):
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(result["model_s2"], np.asarray(s2_at),
                                rtol=1e-8, atol=1e-10)
+    # acquisition gradients: the two-process multihost wrappers == the
+    # single-process grid path at the same hyps
+    _, gy_at, _, gs2_at = pchol2d.ppredict2d_with_grad(
+        SE_ARD, h2p, x, L2p, inv2p, xs[:3], mesh2, block=4)
+    np.testing.assert_allclose(result["model_gy"], np.asarray(gy_at),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(result["model_gs2"], np.asarray(gs2_at),
+                               rtol=1e-7, atol=1e-10)
 
     assert result["ok2"]
     hyp_k2, L2, inv2, ok2 = pchol2d.pset_k2d(SE_ARD, jnp.asarray(hyp), x, y,
