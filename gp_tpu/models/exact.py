@@ -1164,19 +1164,12 @@ class GP(GPBase):
 
         grid = self._is_grid_mesh(mesh)
 
+        used_defaults = init_hyps is None
         if init_hyps is None:
             init_hyps = self.get_default_hyps()
         hyps = np.array(np.asarray(init_hyps), np.float64)
         if self._noise_free:
             hyps[-2] = -np.inf
-
-        hyps_std = self._hyp_to_std(hyps)
-        lb, ub = self._std_bounds()
-        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb), self._noise_free))
-        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub), self._noise_free))
-        vec0 = np.clip(
-            np.asarray(to_opt_vec(jnp.asarray(hyps_std), self._noise_free)),
-            lb_v, ub_v)
 
         from ..parallel.pchol import auto_block
         n_dev = int(np.asarray(mesh.devices).size)
@@ -1193,6 +1186,40 @@ class GP(GPBase):
         # API pod-complete, not just the functional layer
         from ..parallel import multihost
         mp = multihost.is_multiprocess()
+
+        def _dist_nll(h):
+            h = jnp.asarray(np.asarray(h), self._dtype)
+            if grid:
+                from ..parallel import pchol2d
+                fn = multihost.pnll_vg2d if mp else pchol2d.pnll_vg2d
+            else:
+                fn = multihost.pnll_vg if mp else pgp.pnll_vg
+            f, _ = fn(self.kernel, h, self._x, self._y, mesh, block=block)
+            return float(f)
+
+        if used_defaults and self.num_train >= _STREAM_MIN_N:
+            # HBM-scale default-init trap (measured, round 3: a 160-eval
+            # fit from defaults stalls in the noise basin at N=51200 —
+            # RMSE 0.665 vs 0.105 from the O(m^3) subset start).  The
+            # single-chip train() probes a subset-MLE warm start; the
+            # distributed fit gets the same treatment, with the probe as
+            # TWO distributed evaluations (seconds at pod scale).
+            warm = self.subset_init_hyps(m=min(8192, self.num_train // 2))
+            f_def, f_warm = _dist_nll(hyps), _dist_nll(warm)
+            if np.isfinite(f_warm) and (not np.isfinite(f_def)
+                                        or f_warm < f_def):
+                print(f"[gp_tpu] train_distributed: subset-MLE warm start "
+                      f"wins the probe ({f_warm:.4g} < {f_def:.4g})",
+                      file=sys.stderr, flush=True)
+                hyps = np.array(np.asarray(warm), np.float64)
+
+        hyps_std = self._hyp_to_std(hyps)
+        lb, ub = self._std_bounds()
+        lb_v = np.asarray(to_opt_vec(jnp.asarray(lb), self._noise_free))
+        ub_v = np.asarray(to_opt_vec(jnp.asarray(ub), self._noise_free))
+        vec0 = np.clip(
+            np.asarray(to_opt_vec(jnp.asarray(hyps_std), self._noise_free)),
+            lb_v, ub_v)
 
         n = self.num_train
         if grid:

@@ -213,3 +213,41 @@ def test_train_distributed_watchdog_routing(mesh, monkeypatch):
     assert calls.get("hosted")
     assert np.isfinite(res_hosted)
     assert abs(res_hosted - res_small) < 0.01 * (abs(res_small) + 1.0)
+
+
+def test_train_distributed_warm_start_probe(monkeypatch):
+    """Round 5: train_distributed from DEFAULT inits at (mocked) stream
+    scale runs the subset-MLE warm-start probe the single-chip train()
+    uses (the measured N=51200 noise-basin trap) and still converges;
+    an explicit user init skips the probe."""
+    from gp_tpu import GP
+    from gp_tpu.models import exact as exact_mod
+    from gp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, d = 96, 2
+    X = rng.uniform(-2, 2, (n, d))
+    y = np.sin(2 * X[:, 0]) + 0.05 * rng.standard_normal(n)
+    mesh = make_mesh(8, "rows")
+
+    monkeypatch.setattr(exact_mod, "_STREAM_MIN_N", 1)
+    probed = []
+    m0 = GP(X, y)
+    orig = m0.subset_init_hyps
+
+    def spy(*a, **k):
+        probed.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(m0, "subset_init_hyps", spy)
+    nll = m0.train_distributed(mesh, block=4)
+    assert np.isfinite(nll)
+    assert probed, "default-init distributed fit must run the warm probe"
+
+    probed.clear()
+    m1 = GP(X, y)
+    monkeypatch.setattr(m1, "subset_init_hyps", spy)
+    nll1 = m1.train_distributed(mesh, block=4,
+                                init_hyps=m1.get_default_hyps())
+    assert np.isfinite(nll1)
+    assert not probed, "explicit init must skip the probe"
